@@ -1,0 +1,321 @@
+"""Deterministic synthetic corpus generator (seed=42) — FIXTURES.md.
+
+Generates, with no external data:
+
+- ``pages``: (url, warc_ts, html, text, lang) — the [NORTH] input table.
+  zh pages carry sentences joined by the reference's delimiters
+  (``text_segment.py:27``), some wrapped in symmetric quotes to exercise
+  the merge rule (``text_segment.py:6-22``), with a Zipfian mix of
+  entity surface forms planted at known offsets.
+- ``gold_mentions``-style entity offsets per page (reference training-
+  record shape ``{originalText, entities}``, README.md:28-47).
+- ``entities_canonical``: dictionary for linking (aliases, embeddings,
+  Zipf ``is_head`` flags).
+- ``surface_equivalences``: canonicalization edges with known connected
+  components (one deliberately large component).
+- ``relation_rules``: (subj_label, obj_label, pattern, predicate) —
+  a triple is emitted when two mentions share a sentence and the
+  connective pattern occurs between them.
+
+Char pools are disjoint per role (per-type entity chars / filler /
+connectives / quote filler) so the surrogate encoder can genuinely learn
+the tagging from a closed vocabulary; all chars fall inside the
+surrogate vocab's CJK block (core/vocab.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from ..core.labels import ENTITY_TYPES
+
+SEED = 42
+
+# --- char pools (all within chr(0x4E00)..chr(0x4E00+2999), the vocab block)
+_POOL_BASE = 0x4E00
+_TYPE_POOL_SIZE = 40  # chars per entity type
+_FILLER_POOL = [chr(_POOL_BASE + 1000 + i) for i in range(300)]
+_CONNECTIVE_POOL = [chr(_POOL_BASE + 1400 + i) for i in range(40)]
+
+DELIMS = ["，", "。", "！", "？", "；"]
+QUOTE_OPEN, QUOTE_CLOSE = "“", "”"
+
+
+def _type_chars(type_idx: int) -> list[str]:
+    start = _POOL_BASE + type_idx * _TYPE_POOL_SIZE
+    return [chr(start + i) for i in range(_TYPE_POOL_SIZE)]
+
+
+@dataclass
+class Entity:
+    entity_id: int
+    canonical_name: str
+    aliases: list[str]
+    label_type: str
+    embedding: list[float]
+    is_head: bool
+
+
+@dataclass
+class Rule:
+    subj_label: str
+    obj_label: str
+    pattern: str
+    predicate: str
+
+
+@dataclass
+class Page:
+    url: str
+    warc_ts: datetime
+    html: bytes
+    text: str
+    lang: str
+    # gold, absolute char offsets into ``text`` (exclusive end)
+    entities: list[tuple[str, int, int]] = field(default_factory=list)
+
+
+@dataclass
+class Corpus:
+    pages: list[Page]
+    entities: list[Entity]
+    equivalences: list[tuple[str, str]]
+    rules: list[Rule]
+    surface_to_entity: dict[str, int]
+    # expected connected components: surface -> stable id (min entity_id in component)
+    expected_components: dict[str, int]
+
+
+def _make_entities(rng: np.random.Generator, per_type: int = 25) -> list[Entity]:
+    entities: list[Entity] = []
+    eid = 0
+    for t_idx, label in enumerate(ENTITY_TYPES):
+        chars = _type_chars(t_idx)
+        seen: set[str] = set()
+        for _ in range(per_type):
+            while True:
+                ln = int(rng.integers(2, 5))
+                name = "".join(rng.choice(chars, size=ln))
+                if name not in seen:
+                    seen.add(name)
+                    break
+            n_alias = int(rng.integers(0, 3))
+            aliases = []
+            for _ in range(n_alias):
+                while True:
+                    ln = int(rng.integers(2, 5))
+                    alias = "".join(rng.choice(chars, size=ln))
+                    if alias not in seen:
+                        seen.add(alias)
+                        aliases.append(alias)
+                        break
+            vec = rng.standard_normal(16)
+            vec = (vec / np.linalg.norm(vec)).tolist()
+            entities.append(
+                Entity(
+                    entity_id=eid,
+                    canonical_name=name,
+                    aliases=aliases,
+                    label_type=label,
+                    embedding=vec,
+                    is_head=False,
+                )
+            )
+            eid += 1
+    return entities
+
+
+def _make_rules(rng: np.random.Generator, n_rules: int = 12) -> list[Rule]:
+    rules: list[Rule] = []
+    used: set[tuple[str, str]] = set()
+    k = 0
+    while len(rules) < n_rules:
+        subj = ENTITY_TYPES[int(rng.integers(0, len(ENTITY_TYPES)))]
+        obj = ENTITY_TYPES[int(rng.integers(0, len(ENTITY_TYPES)))]
+        if (subj, obj) in used:
+            k += 1
+            if k > 1000:
+                break
+            continue
+        used.add((subj, obj))
+        pattern = "".join(rng.choice(_CONNECTIVE_POOL, size=2))
+        rules.append(Rule(subj, obj, pattern, f"rel_{subj}_{obj}"))
+    return rules
+
+
+def _components(entities: list[Entity], equivalences: list[tuple[str, str]]) -> dict[str, int]:
+    """Union-find over surfaces; stable id = min entity_id among members."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    surface_owner: dict[str, int] = {}
+    for e in entities:
+        for s in [e.canonical_name, *e.aliases]:
+            surface_owner.setdefault(s, e.entity_id)
+            find(s)
+    for a, b in equivalences:
+        union(a, b)
+
+    groups: dict[str, list[str]] = {}
+    for s in surface_owner:
+        groups.setdefault(find(s), []).append(s)
+    out: dict[str, int] = {}
+    for members in groups.values():
+        stable = min(surface_owner[m] for m in members)
+        for m in members:
+            out[m] = stable
+    return out
+
+
+def generate_corpus(
+    n_pages: int = 100,
+    seed: int = SEED,
+    zh_ratio: float = 0.8,
+    avg_sentences: int = 8,
+) -> Corpus:
+    rng = np.random.default_rng(seed)
+    entities = _make_entities(rng)
+    rules = _make_rules(rng)
+    rule_by_pair = {(r.subj_label, r.obj_label): r for r in rules}
+
+    # Zipf popularity over entities; top-10 are heads (skew targets)
+    ranks = np.arange(1, len(entities) + 1, dtype=np.float64)
+    zipf_p = (1.0 / ranks**1.1)
+    zipf_p /= zipf_p.sum()
+    order = rng.permutation(len(entities))
+    probs = np.zeros(len(entities))
+    probs[order] = zipf_p
+    # mark heads = the 10 entities with highest sampling probability
+    head_ids: set[int] = set()
+    for idx in np.argsort(-probs)[:10]:
+        entities[int(idx)].is_head = True
+        head_ids.add(int(idx))
+
+    surface_to_entity: dict[str, int] = {}
+    for e in entities:
+        for s in [e.canonical_name, *e.aliases]:
+            surface_to_entity[s] = e.entity_id
+
+    # equivalence edges: chain canonical→aliases per entity, plus one big
+    # deliberately-large component chaining the head entities' surfaces
+    equivalences: list[tuple[str, str]] = []
+    for e in entities:
+        prev = e.canonical_name
+        for a in e.aliases:
+            equivalences.append((prev, a))
+            prev = a
+    heads = sorted(head_ids)[:5]
+    head_surfaces = [entities[h].canonical_name for h in heads]
+    for a, b in zip(head_surfaces, head_surfaces[1:]):
+        equivalences.append((a, b))
+
+    expected_components = _components(entities, equivalences)
+
+    base_ts = datetime(2025, 1, 1)
+    pages: list[Page] = []
+    ent_surfaces = list(surface_to_entity.keys())
+    ent_probs = np.array([probs[surface_to_entity[s]] for s in ent_surfaces])
+    ent_probs /= ent_probs.sum()
+    ent_label = {s: entities[surface_to_entity[s]].label_type for s in ent_surfaces}
+
+    for doc_id in range(n_pages):
+        lang = "zh" if rng.random() < zh_ratio else ("en" if rng.random() < 0.5 else "de")
+        if lang != "zh":
+            # non-zh filler page: latin text, no gold entities (language gate P8)
+            n_words = int(rng.integers(20, 60))
+            words = ["lorem", "ipsum", "dolor", "sit", "amet", "web", "page", "data"]
+            text = " ".join(rng.choice(words, size=n_words))
+            pages.append(
+                Page(
+                    url=f"https://ex{doc_id % 7}.test/p{doc_id}",
+                    warc_ts=base_ts + timedelta(minutes=doc_id),
+                    html=b"",
+                    text=text,
+                    lang=lang,
+                )
+            )
+            continue
+
+        n_sents = int(rng.integers(max(2, avg_sentences - 4), avg_sentences + 5))
+        parts: list[str] = []
+        ents: list[tuple[str, int, int]] = []
+        pos = 0
+        for _ in range(n_sents):
+            quoted = rng.random() < 0.1
+            if quoted:
+                parts.append(QUOTE_OPEN)
+                pos += 1
+            n_tokens = int(rng.integers(4, 12))
+            sent_ents: list[tuple[str, int, int]] = []
+            tok_i = 0
+            while tok_i < n_tokens:
+                if rng.random() < 0.35:
+                    surf = str(rng.choice(ent_surfaces, p=ent_probs))
+                    sent_ents.append((ent_label[surf], pos, pos + len(surf)))
+                    parts.append(surf)
+                    pos += len(surf)
+                    # maybe plant a rule connective right after an entity
+                    if len(sent_ents) >= 1 and rng.random() < 0.5:
+                        nxt_surf = str(rng.choice(ent_surfaces, p=ent_probs))
+                        pair = (ent_label[surf], ent_label[nxt_surf])
+                        if pair in rule_by_pair:
+                            conn = rule_by_pair[pair].pattern
+                            parts.append(conn)
+                            pos += len(conn)
+                            sent_ents.append((ent_label[nxt_surf], pos, pos + len(nxt_surf)))
+                            parts.append(nxt_surf)
+                            pos += len(nxt_surf)
+                            tok_i += 1
+                else:
+                    w = "".join(rng.choice(_FILLER_POOL, size=int(rng.integers(1, 4))))
+                    parts.append(w)
+                    pos += len(w)
+                tok_i += 1
+            if quoted:
+                parts.append(QUOTE_CLOSE)
+                pos += 1
+            delim = DELIMS[int(rng.integers(0, len(DELIMS)))]
+            parts.append(delim)
+            pos += len(delim)
+            ents.extend(sent_ents)
+
+        text = "".join(parts)
+        pages.append(
+            Page(
+                url=f"https://ex{doc_id % 7}.test/p{doc_id}",
+                warc_ts=base_ts + timedelta(minutes=doc_id),
+                html=b"",
+                text=text,
+                lang="zh",
+                entities=sorted(ents, key=lambda x: (x[1], x[2])),
+            )
+        )
+
+    # render html last (pure function of text/lang)
+    from ..core.textops import render_html
+
+    for p in pages:
+        p.html = render_html(p.text, p.lang, title=p.url)
+
+    return Corpus(
+        pages=pages,
+        entities=entities,
+        equivalences=equivalences,
+        rules=rules,
+        surface_to_entity=surface_to_entity,
+        expected_components=expected_components,
+    )
