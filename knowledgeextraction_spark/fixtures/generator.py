@@ -181,15 +181,25 @@ def _components(entities: list[Entity], equivalences: list[tuple[str, str]]) -> 
     return out
 
 
+def generate_dictionary(seed: int = SEED) -> tuple[list[Entity], list[Rule], np.random.Generator]:
+    """Canonical entity dictionary + relation rules for a given seed.
+
+    Returns the rng so ``generate_corpus`` can continue the same stream
+    (keeps corpus generation bit-identical to the pre-refactor layout).
+    """
+    rng = np.random.default_rng(seed)
+    entities = _make_entities(rng)
+    rules = _make_rules(rng)
+    return entities, rules, rng
+
+
 def generate_corpus(
     n_pages: int = 100,
     seed: int = SEED,
     zh_ratio: float = 0.8,
     avg_sentences: int = 8,
 ) -> Corpus:
-    rng = np.random.default_rng(seed)
-    entities = _make_entities(rng)
-    rules = _make_rules(rng)
+    entities, rules, rng = generate_dictionary(seed)
     rule_by_pair = {(r.subj_label, r.obj_label): r for r in rules}
 
     # Zipf popularity over entities; top-10 are heads (skew targets)

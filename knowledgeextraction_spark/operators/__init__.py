@@ -1,0 +1,1 @@
+"""Spark operators — SURVEY.md §2's inventory, Spark-first."""

@@ -1,0 +1,125 @@
+"""M10: canonicalization — connected components over equivalence edges.
+
+No reference analog (the reference has no canonicalization); [NORTH]
+mandates connected components via iterative DataFrame joins with
+checkpointed frontiers. We use min-label propagation with pointer
+jumping (the classic "hash-to-min"-style scheme from the MapReduce CC
+literature): each round every node takes the min parent among itself
+and its neighbors' parents, then shortcuts to its grandparent. The
+shortcut doubles path compression per round → O(log d) rounds for
+diameter d, robust on the giant component a Zipfian surface graph
+produces.
+
+Scale design:
+- each round = one shuffle join with the (symmetrized) edge list keyed
+  by node + one self-join for the pointer jump; AQE skew-join splits
+  hot component-root keys.
+- ``localCheckpoint`` every round cuts lineage (iterative plans
+  otherwise re-execute from scratch); on a real cluster use reliable
+  ``checkpoint()`` to object storage (resumability).
+- convergence: per-node parents are monotonically non-increasing node
+  ids, so ``sum(parent)`` is strictly decreasing until fixpoint —
+  a cheap scalar aggregate per round, no diff join.
+
+Stable component id = min member id, matching the oracle's union-find
+(fixtures/generator.py:_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 30,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """edges(src long, dst long) undirected → (id long, component long).
+
+    component = min node id reachable. Nodes appear iff they touch an
+    edge (callers union isolated nodes back with component = own id).
+    """
+    adj = _symmetrize(edges)
+    if use_local_checkpoint:
+        adj = adj.localCheckpoint(eager=True)
+    parent = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("parent", F.col("id"))
+    )
+
+    prev_sum = None
+    for _round in range(max_iter):
+        # propagate: candidate parents = own parent ∪ neighbors' parents
+        msgs = adj.join(
+            parent.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), F.col("parent").alias("cand"))
+        combined = parent.select("id", F.col("parent").alias("cand")).unionByName(msgs)
+        p1 = combined.groupBy("id").agg(F.min("cand").alias("parent"))
+
+        # pointer jump: parent ← parent(parent)
+        gp = p1.select(
+            F.col("id").alias("parent"), F.col("parent").alias("gparent")
+        )
+        p2 = (
+            p1.join(gp, "parent", "left")
+            .select("id", F.coalesce("gparent", "parent").alias("parent"))
+        )
+        if use_local_checkpoint:
+            p2 = p2.localCheckpoint(eager=True)
+
+        cur_sum = p2.agg(F.sum("parent")).collect()[0][0]
+        parent = p2
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return parent.select("id", F.col("parent").alias("component"))
+
+
+def surface_components(
+    equivalences: DataFrame, surface_entities: DataFrame
+) -> DataFrame:
+    """surface-form equivalence edges (J9) → (surface, component_id).
+
+    equivalences: (surface_a, surface_b); surface_entities:
+    (surface, entity_id) — entity ids provide the stable numeric node
+    ids (component id = min entity_id, matching the oracle).
+    """
+    sid = surface_entities.select("surface", F.col("entity_id").alias("node_id"))
+    e = (
+        equivalences.join(sid.withColumnRenamed("surface", "surface_a"), "surface_a")
+        .withColumnRenamed("node_id", "src")
+        .join(
+            sid.withColumnRenamed("surface", "surface_b").withColumnRenamed(
+                "node_id", "dst"
+            ),
+            "surface_b",
+        )
+        .select("src", "dst")
+    )
+    comps = connected_components(e)
+    return sid.join(comps, sid.node_id == comps.id, "left").select(
+        "surface",
+        F.coalesce("component", "node_id").alias("component_id"),
+    )
+
+
+def entity_component_map(
+    equivalences: DataFrame, surface_entities: DataFrame
+) -> DataFrame:
+    """→ (entity_id, canonical_id): each entity's canonical surface
+    component (entities keep their own id when untouched by edges)."""
+    sc = surface_components(equivalences, surface_entities)
+    return (
+        surface_entities.join(sc, "surface")
+        .groupBy("entity_id")
+        .agg(F.min("component_id").alias("canonical_id"))
+    )

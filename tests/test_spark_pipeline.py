@@ -1,0 +1,132 @@
+"""Spark pipeline vs single-node oracle: the parity gate.
+
+BASELINE.json north_rule: emitted triples must match the reference
+pipeline's outputs at P/R ≥ 0.95. Oracle and pipeline share weights and
+per-row code, so we assert exact equality (P/R = 1.0) on every stage.
+"""
+
+import pytest
+
+from knowledgeextraction_spark.core.packing import pack_sentences
+from knowledgeextraction_spark.core.textops import extract_text
+from knowledgeextraction_spark.oracle.pipeline import run_pipeline
+from knowledgeextraction_spark.pipeline import KGPipeline
+from knowledgeextraction_spark.sources.pages import (
+    entities_df,
+    equivalences_df,
+    fixture_pages,
+    rules_df,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, corpus):
+    pages = fixture_pages(spark, corpus)
+    pipe = KGPipeline(
+        spark,
+        entities=entities_df(spark, corpus.entities),
+        rules=rules_df(spark, corpus.rules),
+        equivalences=equivalences_df(spark, corpus.equivalences),
+    )
+    return pipe.run(pages), pipe
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    return run_pipeline(corpus)
+
+
+def test_extract_byte_identical(spark, corpus):
+    """[NORTH] per-row invariant: extracted text byte-identical per url."""
+    from pyspark.sql import functions as F
+
+    from knowledgeextraction_spark.operators.extract import extracted_text
+
+    pages = fixture_pages(spark, corpus)
+    got = {
+        r["url"]: r["t"]
+        for r in pages.select("url", extracted_text("html").alias("t")).collect()
+    }
+    for p in corpus.pages:
+        assert got[p.url] == extract_text(p.html) == p.text, p.url
+
+
+def test_records_match_oracle(pipeline_result, oracle_result):
+    result, _ = pipeline_result
+    oracle_records, _, _ = oracle_result
+    got = {(r["url"], r["rec_id"]): r["text"] for r in result.records.collect()}
+    assert got == oracle_records
+
+
+def test_mentions_match_oracle_exactly(pipeline_result, oracle_result):
+    result, _ = pipeline_result
+    _, oracle_mentions, _ = oracle_result
+    got = {
+        (r["url"], r["rec_id"], r["start_pos"], r["end_pos"], r["label_type"], r["surface"])
+        for r in result.mentions.collect()
+    }
+    want = {
+        (m.url, m.rec_id, m.start_pos, m.end_pos, m.label_type, m.surface)
+        for m in oracle_mentions
+    }
+    assert got == want
+
+
+def test_triples_pr_gate(pipeline_result, oracle_result):
+    """The north_rule gate: P/R ≥ 0.95 vs reference outputs (expect 1.0)."""
+    result, _ = pipeline_result
+    _, _, oracle_triples = oracle_result
+    got = {
+        (r["subj_id"], r["predicate"], r["obj_id"], r["url"], r["rec_id"])
+        for r in result.triples.collect()
+    }
+    want = {
+        (t.subj_id, t.predicate, t.obj_id, t.url, t.rec_id) for t in oracle_triples
+    }
+    assert len(want) > 0, "oracle produced no triples — fixture too sparse"
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / len(want)
+    assert precision >= 0.95, f"precision {precision:.3f}: extra={sorted(got - want)[:5]}"
+    assert recall >= 0.95, f"recall {recall:.3f}: missing={sorted(want - got)[:5]}"
+    assert got == want  # stronger: exact
+
+
+def test_components_match_expected(spark, corpus):
+    from knowledgeextraction_spark.operators.canonicalize import surface_components
+    from knowledgeextraction_spark.operators.link import surface_dictionary
+
+    sc = surface_components(
+        equivalences_df(spark, corpus.equivalences),
+        surface_dictionary(entities_df(spark, corpus.entities)),
+    )
+    got = {r["surface"]: r["component_id"] for r in sc.collect()}
+    assert got == corpus.expected_components
+
+
+def test_resume_skips_completed_stages(spark, corpus, tmp_path):
+    """[NORTH] resumability: second run re-reads snapshots, outputs equal."""
+    pages = fixture_pages(spark, corpus)
+    out = str(tmp_path / "kg")
+
+    def build():
+        return KGPipeline(
+            spark,
+            entities=entities_df(spark, corpus.entities),
+            rules=rules_df(spark, corpus.rules),
+            equivalences=equivalences_df(spark, corpus.equivalences),
+            out_dir=out,
+        )
+
+    r1 = build().run(pages)
+    t1 = {tuple(r) for r in r1.triples.collect()}
+    assert r1.stage_times  # first run actually computed stages
+
+    r2 = build().run(pages)
+    t2 = {tuple(r) for r in r2.triples.collect()}
+    assert r2.stage_times == {}  # nothing recomputed
+    assert t1 == t2
+
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert stages == {"records", "mentions", "linked", "triples"}
