@@ -1,0 +1,91 @@
+"""Text analysis operators: quality scoring, lang-ID, tokens, fingerprints.
+
+All pure Catalyst expressions (whole-stage codegen; zero Python) and all
+portable to the DuckDB oracle. The quality-score recipe follows the
+standard web-corpus filters (length / punctuation / stopword ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# BPE-ish token regex: runs of word chars, or single non-space symbols
+TOKEN_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ per-doc stats + a composite quality score."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    avg_word_len = (F.length(F.regexp_replace(t, r"\s+", "")) / n_words)
+
+    stop_ratio = n_stop / n_words
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    quality = (
+        F.when(n_words < 5, 0.0)
+        .when(avg_word_len > 12, 0.2)
+        .otherwise(
+            F.round(
+                1.0
+                - F.least(punct_ratio * 2.0, F.lit(0.5))
+                - F.least(F.abs(stop_ratio - 0.12) * 1.5, F.lit(0.5)),
+                4,
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic script-based language ID: Han-char ratio → zh/other.
+
+    (An n-gram classifier reduces to the same shape: per-char/ngram
+    class counts → ratio features → threshold.)
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    han = n - F.length(F.regexp_replace(t, r"\p{IsHan}", ""))
+    ratio = han / F.greatest(n, F.lit(1))
+    return pages.select(
+        "url",
+        F.round(ratio, 4).alias("han_ratio"),
+        F.when(ratio > 0.5, "zh").otherwise("other").alias("pred_lang"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish regex token count + whitespace token count per doc."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over sorted distinct words (bag-of-words
+    fingerprint — robust to word order, portable to the oracle)."""
+    words = F.array_sort(
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(words, " ")).alias("fingerprint"),
+    )

@@ -1,0 +1,993 @@
+"""Query registry: every implemented operator as (spark_fn, oracle_sql).
+
+Each entry returns a DataFrame over the driver's parquet tables at
+``sf_dir`` (documents/embeddings/events/lineitem/...); the paired
+oracle is DuckDB SQL over the same tables (views pre-registered by the
+driver). Column names and types are aligned on both sides; every hash
+is md5-based so results are bit-reproducible across engines.
+
+Entries without an oracle (the model-based KG stages) are registered in
+``NON_SQL_QUERIES`` — the driver records a rows-only check for those;
+their real correctness gate is tests/test_spark_pipeline.py's exact
+oracle parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, textstats
+from .operators.conlleval import conll_eval
+from .operators.segment import packed_records, sentence_table
+from .sources import pages as pages_src
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cast float32 → double so dot products are bit-comparable with the
+    # DuckDB oracle (both engines then accumulate in float64)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def _docs_with_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic replicas of every 10th doc (dup seeds)."""
+    d = _docs(spark, sf_dir)
+    reps = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(reps)
+
+
+_DOCS_REPL_SQL = (
+    "(SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 10 = 0)"
+)
+
+# doc-world sentence delimiters (word_mapping maps 'a'→'，', 'the'→'。')
+_DOC_DELIMS = "，。"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_src.pages_from_documents(spark, sf_dir)
+
+
+def _extracted_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → (url, text, lang) THROUGH the html render/extract
+    round-trip (exercises the byte-identity invariant on driver data)."""
+    from .operators.extract import extracted_text
+
+    return _pages(spark, sf_dir).select(
+        "url", extracted_text("html").alias("text"), "lang"
+    )
+
+
+_EXTRACT_SQL_BODY = (
+    f"SELECT {pages_src.URL_SQL} AS url, "
+    f"{{translit}} AS text, lang FROM documents"
+)
+
+
+def _extract_sql() -> str:
+    return _EXTRACT_SQL_BODY.format(translit=pages_src.translit_sql("text"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (documents-derived pages world)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: html→text, byte-identical per url (render∘extract == translit)."""
+    return _extracted_pages(spark, sf_dir).select("url", "text")
+
+
+def sql_kg_extract_text() -> str:
+    return f"SELECT url, text FROM ({_extract_sql()}) t"
+
+
+def q_kg_lang_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: language gate counts."""
+    return (
+        _pages(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("lang")
+    )
+
+
+def sql_kg_lang_gate() -> str:
+    return "SELECT lang, count(*) AS n_pages FROM documents GROUP BY lang ORDER BY lang"
+
+
+def q_kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: sentence segmentation of zh pages (url, sent_id, sentence)."""
+    zh = _extracted_pages(spark, sf_dir).filter(F.col("lang") == "zh")
+    return sentence_table(zh).withColumn("sent_id", F.col("sent_id").cast("long"))
+
+
+def sql_kg_sentences() -> str:
+    # doc-world text has only ，。 delimiters, no quotes, no whitespace —
+    # for this input class to_sentences == maximal [^D]*D | trailing runs
+    return f"""
+SELECT url,
+       generate_subscripts(sents, 1) - 1 AS sent_id,
+       unnest(sents) AS sentence
+FROM (
+  SELECT url,
+         regexp_extract_all(text, '[^{_DOC_DELIMS}]*[{_DOC_DELIMS}]|[^{_DOC_DELIMS}]+$') AS sents
+  FROM ({_extract_sql()}) t WHERE lang = 'zh'
+) s
+"""
+
+
+def q_kg_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: greedy packing. Doc-world texts are < 382 chars, so each
+    non-empty zh page packs to exactly one record — which the SQL oracle
+    can express; the Spark side still runs the real packer."""
+    zh = _extracted_pages(spark, sf_dir).filter(F.col("lang") == "zh")
+    return packed_records(zh).withColumn("rec_id", F.col("rec_id").cast("long"))
+
+
+def sql_kg_records() -> str:
+    return (
+        f"SELECT url, 0::BIGINT AS rec_id, text FROM ({_extract_sql()}) t "
+        "WHERE lang = 'zh' AND length(text) > 0"
+    )
+
+
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: connected components over the dictionary's equivalence edges."""
+    from .operators.canonicalize import surface_components
+    from .operators.link import surface_dictionary
+
+    eq = pages_src.equivalences_df(spark, pages_src.doc_equivalences())
+    dic = surface_dictionary(pages_src.entities_df(spark))
+    return surface_components(eq, dic).orderBy("surface")
+
+
+def sql_kg_components() -> str:
+    entities, _ = pages_src.dictionary()
+    surf_rows = []
+    for e in entities:
+        for s in [e.canonical_name, *e.aliases]:
+            surf_rows.append(f"('{s}', {e.entity_id})")
+    edge_rows = [
+        f"('{a}', '{b}')" for a, b in pages_src.doc_equivalences()
+    ] or ["(NULL, NULL)"]
+    return f"""
+WITH RECURSIVE surfaces(surface, entity_id) AS (VALUES {', '.join(surf_rows)}),
+eq(a, b) AS (VALUES {', '.join(edge_rows)}),
+edges AS (
+  SELECT sa.entity_id AS src, sb.entity_id AS dst
+  FROM eq JOIN surfaces sa ON eq.a = sa.surface
+          JOIN surfaces sb ON eq.b = sb.surface
+),
+sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges UNION SELECT dst, dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+SELECT s.surface, coalesce(c.component, s.entity_id) AS component_id
+FROM surfaces s LEFT JOIN comp c ON s.entity_id = c.id
+ORDER BY s.surface
+"""
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 mention detection (model-based → rows-only check here;
+    exact parity is pytest's oracle gate)."""
+    from .core.artifacts import get_weights
+    from .operators.detect import detect_mentions
+
+    records = q_kg_records(spark, sf_dir).withColumn(
+        "rec_id", F.col("rec_id").cast("int")
+    )
+    bc = spark.sparkContext.broadcast(get_weights())
+    return detect_mentions(records, bc)
+
+
+def q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 entity linking of detected mentions."""
+    from .operators.link import link_mentions
+
+    return link_mentions(q_kg_mentions(spark, sf_dir), pages_src.entities_df(spark))
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8/M9/M10: the flagship — canonicalized (subj, pred, obj) triples."""
+    from .operators.canonicalize import entity_component_map
+    from .operators.link import surface_dictionary
+    from .operators.triples import canonicalized_triples, emit_triples
+
+    records = q_kg_records(spark, sf_dir).withColumn(
+        "rec_id", F.col("rec_id").cast("int")
+    )
+    linked = q_kg_linked(spark, sf_dir)
+    raw = emit_triples(linked, records, pages_src.rules_df(spark))
+    cmap = entity_component_map(
+        pages_src.equivalences_df(spark, pages_src.doc_equivalences()),
+        surface_dictionary(pages_src.entities_df(spark)),
+    )
+    return canonicalized_triples(raw, cmap)
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs_with_replicas(spark, sf_dir)).orderBy(
+        "content_hash"
+    )
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT content_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+      FROM {_DOCS_REPL_SQL} d) h
+GROUP BY content_hash HAVING count(*) >= 2 ORDER BY content_hash
+"""
+
+
+_SHINGLE_SQL = """
+SELECT doc_id, shingle FROM (
+  SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+    SELECT doc_id,
+           [array_to_string(words[i:i+{n}-1], ' ')
+            for i in range(1, greatest(len(words) - {n} + 1, 1) + 1)] AS sh
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+          FROM {src} d) w
+  ) u
+) s WHERE length(shingle) > 0
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir)).withColumn(
+        "band", F.col("band").cast("long")
+    ).orderBy("doc_id", "band")
+
+
+def sql_dedup_minhash() -> str:
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src="documents")
+    return f"""
+SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
+FROM ({sh}) s CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+GROUP BY doc_id, band ORDER BY doc_id, band
+"""
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs_with_replicas(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def sql_dedup_lsh_pairs() -> str:
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
+  FROM ({sh}) s CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+  GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_replicas(spark, sf_dir)
+    cands = dedup.lsh_candidate_pairs(d)
+    return (
+        dedup.ngram_jaccard_pairs(d, cands, threshold=0.5)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_dedup_jaccard() -> str:
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    return f"""
+WITH sh AS ({sh}),
+sig AS (
+  SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter i
+JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_dedup_simhash() -> str:
+    return """
+WITH words AS (
+  SELECT doc_id, word, count(*) AS w
+  FROM (SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+        FROM documents) t
+  WHERE length(word) > 0 GROUP BY doc_id, word
+),
+hashed AS (
+  SELECT doc_id, w, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.5)
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def sql_dedup_embedding() -> str:
+    return """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) /
+      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.5
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        similarity.cosine_topk(emb, q, k=5)
+        .withColumn("cosine", F.round("cosine", 6))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def sql_similarity_topk() -> str:
+    return """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding) /
+         (sqrt(list_dot_product(q.embedding, q.embedding)) *
+          sqrt(list_dot_product(c.embedding, c.embedding))) AS cosine
+  FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        similarity.lsh_topk(emb, q, k=5, dim=64)
+        .withColumn("cosine", F.round("cosine", 6))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def sql_similarity_lsh() -> str:
+    planes = similarity.make_planes(64, 8, 42)
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+bucketed AS (
+  SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM emb
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding) /
+         (sqrt(list_dot_product(q.embedding, q.embedding)) *
+          sqrt(list_dot_product(c.embedding, c.embedding))) AS cosine
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_text_stats() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(trim(text), ' ') AS words,
+         length(text) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         n_chars::BIGINT AS n_chars,
+         length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(words) AS awl,
+         len(list_filter(words, w -> w IN ({stop}))) * 1.0 / len(words) AS sr,
+         (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+           / greatest(n_chars, 1) AS pr
+  FROM base
+)
+SELECT doc_id, n_words, n_chars,
+       round(awl, 4) AS avg_word_len,
+       round(sr, 4) AS stop_ratio,
+       round(pr, 4) AS punct_ratio,
+       CASE WHEN n_words < 5 THEN 0.0
+            WHEN awl > 12 THEN 0.2
+            ELSE round(1.0 - least(pr * 2.0, 0.5)
+                           - least(abs(sr - 0.12) * 1.5, 0.5), 4)
+       END AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_extracted_pages(spark, sf_dir)).orderBy("url")
+
+
+def sql_lang_id() -> str:
+    return f"""
+WITH t AS ({_extract_sql()}),
+m AS (
+  SELECT url,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '\\p{{Han}}', '', 'g')) AS han
+  FROM t
+)
+SELECT url, round(han * 1.0 / greatest(n, 1), 4) AS han_ratio,
+       CASE WHEN han * 1.0 / greatest(n, 1) > 0.5 THEN 'zh' ELSE 'other' END AS pred_lang
+FROM m ORDER BY url
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{textstats.TOKEN_RE}'))::BIGINT AS re_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_fingerprints() -> str:
+    return """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / window operator coverage (SURVEY.md §2.4-2.6 analogs)
+# ---------------------------------------------------------------------------
+
+
+def q_label_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: Counter(labels) → groupBy().count()."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def sql_label_freq() -> str:
+    return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: length histogram, sorted by key (crf_gen_taggers.py:151-154)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy((F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("len_bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("len_bucket")
+    )
+
+
+def sql_length_histogram() -> str:
+    return (
+        "SELECT (floor(n_chars / 50) * 50)::BIGINT AS len_bucket, count(*) AS n "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    )
+
+
+def q_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/U1: distinct label set ∪ {'O'}, sorted (gatherLabels)."""
+    ev = _events(spark, sf_dir).select(F.col("event_type").alias("label")).distinct()
+    o = spark.createDataFrame([("O",)], "label string")
+    return ev.unionByName(o).distinct().orderBy("label")
+
+
+def sql_distinct_labels() -> str:
+    return (
+        "SELECT DISTINCT label FROM "
+        "(SELECT event_type AS label FROM events UNION SELECT 'O') t ORDER BY label"
+    )
+
+
+def q_vocab_min_occur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: vocab build with min-occur filter + stable ids
+    (chinese_CONLL.py:44-86)."""
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim("text"), " ")).alias("word")
+    )
+    counts = (
+        words.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 100)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.withColumn("word_id", F.row_number().over(w).cast("long")).orderBy(
+        "word_id"
+    )
+
+
+def sql_vocab_min_occur() -> str:
+    return """
+SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS word_id
+FROM (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+  WHERE length(word) > 0 GROUP BY word HAVING count(*) > 100
+) c ORDER BY word_id
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-k by score per group (n-best cut, mrc_utils.py:392-401)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+        .orderBy("user_id", "rank")
+    )
+
+
+def sql_topk_per_group() -> str:
+    return """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) t WHERE rank <= 3 ORDER BY user_id, rank
+"""
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: keep-first dedup within a partition (mrc_utils.py:397-415)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def sql_window_dedup() -> str:
+    return """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def q_softmax_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: max-shifted exp-normalize within group (mrc_utils.py:19-39)."""
+    w = Window.partitionBy("user_id")
+    ev = _events(spark, sf_dir)
+    shifted = F.exp(F.col("value") - F.max("value").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(shifted / F.sum(shifted).over(w), 6).alias("softmax"),
+    ).orderBy("user_id", "event_id")
+
+
+def sql_softmax_scores() -> str:
+    return """
+SELECT user_id, event_id,
+       round(shifted / sum(shifted) OVER (PARTITION BY user_id), 6) AS softmax
+FROM (
+  SELECT user_id, event_id,
+         exp(value - max(value) OVER (PARTITION BY user_id)) AS shifted
+  FROM events
+) t ORDER BY user_id, event_id
+"""
+
+
+def q_masked_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: mean of an agreement flag over masked rows (crf_albert.py:79-87)."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.round(
+            F.avg(F.when(F.col("event_type") == "click", (F.col("value") > 10).cast("int"))),
+            6,
+        ).alias("masked_acc")
+    )
+
+
+def sql_masked_accuracy() -> str:
+    return (
+        "SELECT round(avg(CASE WHEN event_type = 'click' "
+        "THEN CASE WHEN value > 10 THEN 1 ELSE 0 END END), 6) AS masked_acc FROM events"
+    )
+
+
+def q_label_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: label remap via broadcast dimension join (taggerMapping)."""
+    mapping = spark.createDataFrame(
+        [
+            ("click", "interaction"),
+            ("view", "impression"),
+            ("purchase", "conversion"),
+            ("error", "fault"),
+        ],
+        "event_type string, canon string",
+    )
+    ev = _events(spark, sf_dir)
+    return (
+        ev.join(F.broadcast(mapping), "event_type", "left")
+        .groupBy(F.coalesce("canon", F.lit("other")).alias("canon"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("canon")
+    )
+
+
+def sql_label_map_join() -> str:
+    return """
+WITH mapping(event_type, canon) AS (
+  VALUES ('click', 'interaction'), ('view', 'impression'),
+         ('purchase', 'conversion'), ('error', 'fault')
+)
+SELECT coalesce(m.canon, 'other') AS canon, count(*) AS n
+FROM events e LEFT JOIN mapping m ON e.event_type = m.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: deterministic train/dev/test split (split_files.py:13-27 —
+    md5-bucketed instead of shuffled so the oracle can reproduce it)."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 238, "dev").otherwise("test")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+def sql_three_way_split() -> str:
+    return """
+SELECT split, count(*) AS n FROM (
+  SELECT CASE WHEN b < 230 THEN 'train' WHEN b < 238 THEN 'dev' ELSE 'test' END AS split
+  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT AS b FROM documents) t
+) s GROUP BY split ORDER BY split
+"""
+
+
+def q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: sliding doc-span windows (stride 16, span 32 words —
+    mrc_utils.py:253-264 shape at word level)."""
+    stride, span = 16, 32
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("words") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        d.select("doc_id", F.size("words").alias("n_words"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            F.least(F.lit(span), F.col("n_words") - F.col("start")).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") > 0)
+        .orderBy("doc_id", "start")
+    )
+
+
+def sql_doc_spans() -> str:
+    return """
+SELECT doc_id, start, least(32, n_words - start) AS span_len FROM (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_words,
+         unnest(range(0, greatest(len(string_split(trim(text), ' ')) - 1, 0) + 1, 16)) AS start
+  FROM documents
+) t WHERE least(32, n_words - start) > 0 ORDER BY doc_id, start
+"""
+
+
+def q_conlleval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: conlleval chunk P/R/F1 as DataFrame aggregation, on synthetic
+    BIO tags derived deterministically from the events table."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gold = (
+        F.when(F.col("event_type") == "click", "B-ACT")
+        .when(F.col("event_type") == "view", "I-ACT")
+        .when(F.col("event_type") == "purchase", "B-BUY")
+        .otherwise("O")
+    )
+    tokens = ev.select(
+        F.col("user_id").alias("sent_id"),
+        F.row_number().over(w).alias("pos"),
+        gold.alias("gold"),
+    ).withColumn(
+        "pred",
+        F.when((F.col("pos") % 7) == 0, "O").otherwise(F.col("gold")),
+    )
+    return conll_eval(tokens)
+
+
+def sql_conlleval() -> str:
+    return """
+WITH tokens AS (
+  SELECT user_id AS sent_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS pos,
+         CASE event_type WHEN 'click' THEN 'B-ACT' WHEN 'view' THEN 'I-ACT'
+                         WHEN 'purchase' THEN 'B-BUY' ELSE 'O' END AS gold
+  FROM events
+),
+tp AS (SELECT sent_id, pos, gold,
+              CASE WHEN pos % 7 = 0 THEN 'O' ELSE gold END AS pred
+       FROM tokens),
+gc AS (
+  SELECT sent_id, ctype, chunk_id, min(pos) AS start, max(pos) AS "end" FROM (
+    SELECT sent_id, pos, ctype,
+           sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY sent_id ORDER BY pos) AS chunk_id
+    FROM (
+      SELECT sent_id, pos,
+             CASE WHEN gold = 'O' THEN NULL ELSE substr(gold, 3) END AS ctype,
+             CASE WHEN gold = 'O' THEN FALSE
+                  WHEN substr(gold, 1, 1) = 'B' THEN TRUE
+                  WHEN lag(CASE WHEN gold = 'O' THEN NULL ELSE substr(gold, 3) END)
+                       OVER (PARTITION BY sent_id ORDER BY pos)
+                       IS DISTINCT FROM
+                       CASE WHEN gold = 'O' THEN NULL ELSE substr(gold, 3) END
+                       THEN TRUE ELSE FALSE END AS is_start
+      FROM tp
+    ) x
+  ) y WHERE ctype IS NOT NULL GROUP BY sent_id, ctype, chunk_id
+),
+pc AS (
+  SELECT sent_id, ctype, chunk_id, min(pos) AS start, max(pos) AS "end" FROM (
+    SELECT sent_id, pos, ctype,
+           sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY sent_id ORDER BY pos) AS chunk_id
+    FROM (
+      SELECT sent_id, pos,
+             CASE WHEN pred = 'O' THEN NULL ELSE substr(pred, 3) END AS ctype,
+             CASE WHEN pred = 'O' THEN FALSE
+                  WHEN substr(pred, 1, 1) = 'B' THEN TRUE
+                  WHEN lag(CASE WHEN pred = 'O' THEN NULL ELSE substr(pred, 3) END)
+                       OVER (PARTITION BY sent_id ORDER BY pos)
+                       IS DISTINCT FROM
+                       CASE WHEN pred = 'O' THEN NULL ELSE substr(pred, 3) END
+                       THEN TRUE ELSE FALSE END AS is_start
+      FROM tp
+    ) x
+  ) y WHERE ctype IS NOT NULL GROUP BY sent_id, ctype, chunk_id
+),
+correct AS (
+  SELECT count(*) AS correct_chunks
+  FROM gc JOIN pc ON gc.sent_id = pc.sent_id AND gc.start = pc.start
+                 AND gc."end" = pc."end" AND gc.ctype = pc.ctype
+),
+tok AS (SELECT count(*) AS n_tokens,
+               sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS n_correct_tok
+        FROM tp),
+g AS (SELECT count(*) AS gold_chunks FROM gc),
+p AS (SELECT count(*) AS pred_chunks FROM pc)
+SELECT n_tokens,
+       round(n_correct_tok * 1.0 / n_tokens, 6) AS token_accuracy,
+       gold_chunks, pred_chunks, correct_chunks,
+       round(correct_chunks * 1.0 / greatest(pred_chunks, 1), 6) AS precision,
+       round(correct_chunks * 1.0 / greatest(gold_chunks, 1), 6) AS recall,
+       round(2.0 * correct_chunks / greatest(pred_chunks + gold_chunks, 1), 6) AS f1
+FROM tok, g, p, correct
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # KG pipeline (SQL-checked stages)
+    "kg_extract_text": q_kg_extract_text,
+    "kg_lang_gate": q_kg_lang_gate,
+    "kg_sentences": q_kg_sentences,
+    "kg_records": q_kg_records,
+    "kg_components": q_kg_components,
+    # KG pipeline (model-based, rows-only; exact parity in pytest)
+    "kg_mentions": q_kg_mentions,
+    "kg_linked": q_kg_linked,
+    "kg_triples": q_kg_triples,
+    # dedup family
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    # similarity search
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh": q_similarity_lsh,
+    # text analysis
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    # relational/window operator coverage
+    "label_freq": q_label_freq,
+    "length_histogram": q_length_histogram,
+    "distinct_labels": q_distinct_labels,
+    "vocab_min_occur": q_vocab_min_occur,
+    "topk_per_group": q_topk_per_group,
+    "window_dedup": q_window_dedup,
+    "softmax_scores": q_softmax_scores,
+    "masked_accuracy": q_masked_accuracy,
+    "label_map_join": q_label_map_join,
+    "three_way_split": q_three_way_split,
+    "doc_spans": q_doc_spans,
+    "conlleval_metrics": q_conlleval,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_extract_text": sql_kg_extract_text(),
+    "kg_lang_gate": sql_kg_lang_gate(),
+    "kg_sentences": sql_kg_sentences(),
+    "kg_records": sql_kg_records(),
+    "kg_components": sql_kg_components(),
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_minhash": sql_dedup_minhash(),
+    "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
+    "dedup_jaccard": sql_dedup_jaccard(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "dedup_embedding": sql_dedup_embedding(),
+    "similarity_topk": sql_similarity_topk(),
+    "similarity_lsh": sql_similarity_lsh(),
+    "text_stats": sql_text_stats(),
+    "lang_id": sql_lang_id(),
+    "token_counts": sql_token_counts(),
+    "fingerprints": sql_fingerprints(),
+    "label_freq": sql_label_freq(),
+    "length_histogram": sql_length_histogram(),
+    "distinct_labels": sql_distinct_labels(),
+    "vocab_min_occur": sql_vocab_min_occur(),
+    "topk_per_group": sql_topk_per_group(),
+    "window_dedup": sql_window_dedup(),
+    "softmax_scores": sql_softmax_scores(),
+    "masked_accuracy": sql_masked_accuracy(),
+    "label_map_join": sql_label_map_join(),
+    "three_way_split": sql_three_way_split(),
+    "doc_spans": sql_doc_spans(),
+    "conlleval_metrics": sql_conlleval(),
+}

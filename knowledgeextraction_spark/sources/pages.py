@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -149,6 +151,15 @@ WARC_TS_EXPR = "timestamp'2025-01-01' + make_interval(0,0,0,0,0,cast(doc_id as i
 WARC_TS_SQL = "TIMESTAMP '2025-01-01' + to_minutes(doc_id)"
 
 
+@pandas_udf(BinaryType())
+def render_udf(text: pd.Series, lang: pd.Series, url: pd.Series) -> pd.Series:
+    from ..core.textops import render_html
+
+    return pd.Series(
+        [render_html(t, lg, title=u) for t, lg, u in zip(text, lang, url)]
+    )
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages(url, warc_ts, html, text, lang).
 
@@ -156,17 +167,6 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF (core.textops.render_html); the extract stage must invert
     it byte-identically.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(BinaryType())
-    def render_udf(text: "pd.Series", lang: "pd.Series", url: "pd.Series") -> "pd.Series":
-        from ..core.textops import render_html
-
-        return pd.Series(
-            [render_html(t, lg, title=u) for t, lg, u in zip(text, lang, url)]
-        )
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
         F.expr(URL_EXPR).alias("url"),
