@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and print ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode: run the KG pipeline (the triples job) at two
+parallelism levels (local[8] vs local[32]) on identical input and
+report throughput + scaling efficiency — the sandbox proxy for the
+north rule's N → 4N executor scaling (BASELINE.md). Results are
+written to BENCH/BASELINE.md by ``--scaling --write-md``.
+
+Headline queries: the full KG pipeline (pages → triples) plus the
+heaviest non-KG operators (minhash dedup, similarity top-k, text
+stats, conlleval).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+HEADLINE = [
+    "kg_triples",
+    "kg_mentions",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "similarity_topk",
+    "text_stats",
+    "conlleval_metrics",
+]
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    from knowledgeextraction_spark.core.artifacts import get_weights
+    from knowledgeextraction_spark.queries import QUERIES
+    from knowledgeextraction_spark.session import get_spark
+
+    get_weights()  # warm the artifact cache outside the timed region
+    spark = get_spark("sparkkg-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + python workers once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    n_triples = 0
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.monotonic()
+        df = q(spark, sf_dir)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        if name == "kg_triples":
+            n_triples = n
+            triples_sec = n / dt if dt > 0 else 0.0
+
+    out = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_triples": n_triples,
+        "triples_per_sec": round(triples_sec, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    return out
+
+
+def _run_triples_job(sf_dir: str, cpus: int, replicate: int) -> dict:
+    """One fresh-JVM run of the triples job at a given parallelism.
+
+    ``replicate``: duplicate the documents input K× (distinct doc_ids)
+    so the job is large enough to saturate 32 cores.
+    """
+    import pyspark.sql.functions as F
+
+    from knowledgeextraction_spark.core.artifacts import get_weights
+    from knowledgeextraction_spark.operators.canonicalize import entity_component_map
+    from knowledgeextraction_spark.operators.detect import detect_mentions
+    from knowledgeextraction_spark.operators.link import link_mentions, surface_dictionary
+    from knowledgeextraction_spark.operators.segment import packed_records
+    from knowledgeextraction_spark.operators.triples import (
+        canonicalized_triples,
+        emit_triples,
+    )
+    from knowledgeextraction_spark.session import get_spark
+    from knowledgeextraction_spark.sources import pages as pages_src
+
+    get_weights()
+    spark = get_spark(
+        f"sparkkg-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+        )
+    docs = docs.repartition(max(cpus * 2, 16)).cache()
+    n_docs = docs.count()
+
+    # build pages inline from the (replicated) docs
+    pages = docs.select(
+        F.expr(pages_src.URL_EXPR).alias("url"),
+        pages_src.translit_expr("text").alias("text"),
+        "lang",
+    )
+    pages = pages.withColumn(
+        "html", pages_src.render_udf("text", "lang", "url")
+    ).select("url", "html", "lang")
+
+    from knowledgeextraction_spark.operators.extract import extracted_text
+
+    t0 = time.monotonic()
+    zh = pages.filter(F.col("lang") == "zh").select(
+        "url", extracted_text("html").alias("text")
+    )
+    records = packed_records(zh)
+    bc = spark.sparkContext.broadcast(get_weights())
+    mentions = detect_mentions(records, bc)
+    linked = link_mentions(mentions, pages_src.entities_df(spark))
+    raw = emit_triples(linked, records, pages_src.rules_df(spark))
+    cmap = entity_component_map(
+        pages_src.equivalences_df(spark, pages_src.doc_equivalences()),
+        surface_dictionary(pages_src.entities_df(spark)),
+    )
+    triples = canonicalized_triples(raw, cmap)
+    n_triples = triples.count()
+    dt = time.monotonic() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(dt, 2),
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / dt, 2),
+        "docs_per_sec": round(n_docs / dt, 2),
+    }
+
+
+def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
+    lo = _run_triples_job(sf_dir, 8, replicate)
+    hi = _run_triples_job(sf_dir, 32, replicate)
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4.0
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low": lo,
+        "high": hi,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if write_md:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH/BASELINE — throughput + scaling evidence\n\n"
+                "North rule: scaling efficiency ≥ 0.8 from N to 4N parallelism.\n"
+                "Sandbox proxy (per driver instruction): same triples job, same\n"
+                f"input ({lo['n_docs']} docs = sf{out['sf']} documents ×{replicate}\n"
+                "deterministic replicas), local[8] vs local[32], fresh JVM each.\n\n"
+                "| parallelism | wall (s) | docs/s | triples/s |\n|---|---|---|---|\n"
+                f"| local[8]  | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['triples_per_sec']} |\n"
+                f"| local[32] | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['triples_per_sec']} |\n\n"
+                f"**Scaling efficiency (throughput_32 / throughput_8) / 4 = {eff:.3f}**\n"
+            )
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        replicate = int(os.environ.get("SPARKKG_BENCH_REPLICATE", "8"))
+        out = run_scaling(sf_dir, replicate, "--write-md" in sys.argv)
+    else:
+        out = run_headline(sf_dir, cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

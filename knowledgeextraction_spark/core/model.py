@@ -76,6 +76,25 @@ def encode_logits(input_ids: np.ndarray, weights: dict[str, np.ndarray]) -> np.n
     return h @ weights["proj_w"] + weights["proj_b"]
 
 
+def encode_logits_trimmed(
+    full_input_ids: np.ndarray, tmax: int, weights: dict[str, np.ndarray]
+) -> np.ndarray:
+    """Batch-composition-INVARIANT trimmed logits: [B, 384] + tmax → [B, tmax, C].
+
+    Trimming a batch to its max real length must not change any row's
+    logits vs the full-length computation: positions near ``tmax`` still
+    need the real ``[PAD]``-token context (id 0 has a nonzero embedding),
+    not the zero-vector edge padding. So compute over ``tmax + WINDOW``
+    columns and slice. Without this margin, a record's tags depend on
+    which batch it landed in (the longest record per batch saw zero
+    context) — a determinism bug under repartitioning/retries.
+    """
+    t_full = full_input_ids.shape[1]
+    t_in = min(tmax + WINDOW, t_full)
+    logits = encode_logits(full_input_ids[:, :t_in], weights)
+    return logits[:, :tmax]
+
+
 def make_bio_transitions(labels: list[str], valid: float = 0.0, invalid: float = -1e4) -> np.ndarray:
     """CRF transition matrix enforcing suffix-BIO validity.
 

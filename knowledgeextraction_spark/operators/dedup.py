@@ -111,14 +111,23 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # candidates-first: intersect shingles only for LSH candidate
+        # pairs (candidates × avg-shingles rows) instead of exploding
+        # the full co-shingle pair space and filtering afterwards
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

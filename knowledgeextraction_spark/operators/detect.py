@@ -57,7 +57,7 @@ def detect_mentions(records: DataFrame, weights_bc) -> DataFrame:
         from ..core.bio import tags_to_mentions
         from ..core.featurize import convert_single_example, recover_tags
         from ..core.labels import INV_LABEL_MAP
-        from ..core.model import encode_logits, viterbi_decode
+        from ..core.model import encode_logits_trimmed, viterbi_decode
         from ..core.vocab import build_vocab
 
         weights = weights_bc.value
@@ -73,7 +73,7 @@ def detect_mentions(records: DataFrame, weights_bc) -> DataFrame:
             input_ids = np.asarray([f[0] for f in feats], dtype=np.int64)
             lengths = np.asarray([sum(f[1]) for f in feats], dtype=np.int64)
             tmax = int(lengths.max())
-            logits = encode_logits(input_ids[:, :tmax], weights)
+            logits = encode_logits_trimmed(input_ids, tmax, weights)
             paths = viterbi_decode(logits, lengths, weights["trans"])
 
             urls, rids, ss, es, labs, surfs = [], [], [], [], [], []

@@ -21,7 +21,7 @@ from ..core.artifacts import get_weights
 from ..core.bio import tags_to_mentions
 from ..core.featurize import MAX_SEQ_LENGTH, convert_single_example, recover_tags
 from ..core.labels import INV_LABEL_MAP
-from ..core.model import encode_logits, viterbi_decode
+from ..core.model import encode_logits_trimmed, viterbi_decode
 from ..core.packing import pack_sentences
 from ..core.textops import extract_text
 from ..core.vocab import build_vocab
@@ -61,7 +61,7 @@ def detect_mentions(records: list[tuple[str, int, str]], weights=None) -> list[M
         input_ids = np.asarray([f[0] for f in feats], dtype=np.int64)
         lengths = np.asarray([sum(f[1]) for f in feats], dtype=np.int64)
         tmax = int(lengths.max()) if len(lengths) else 0
-        logits = encode_logits(input_ids[:, :tmax], weights)
+        logits = encode_logits_trimmed(input_ids, tmax, weights)
         paths = viterbi_decode(logits, lengths, weights["trans"])
         for (url, rec_id, text), path, ids in zip(chunk, paths, input_ids):
             tags = recover_tags(path.tolist(), ids.tolist(), INV_LABEL_MAP)

@@ -101,7 +101,11 @@ class KGPipeline:
         return packed_records(with_text, self.max_seq_length)
 
     def mentions(self, records: DataFrame) -> DataFrame:
-        return detect_mentions(records, self.weights_bc)
+        # the encoder is the FLOP-dominant stage: rebalance records
+        # across all cores first (tiny rows — the shuffle is far cheaper
+        # than idle executors during the matmul)
+        par = self.spark.sparkContext.defaultParallelism
+        return detect_mentions(records.repartition(par), self.weights_bc)
 
     def linked(self, mentions: DataFrame) -> DataFrame:
         return link_mentions(mentions, self.entities)

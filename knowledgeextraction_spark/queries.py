@@ -204,6 +204,8 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = q_kg_records(spark, sf_dir).withColumn(
         "rec_id", F.col("rec_id").cast("int")
     )
+    # rebalance before the FLOP-heavy encoder (see pipeline.mentions)
+    records = records.repartition(spark.sparkContext.defaultParallelism)
     bc = spark.sparkContext.broadcast(get_weights())
     return detect_mentions(records, bc)
 
@@ -217,14 +219,22 @@ def q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8/M9/M10: the flagship — canonicalized (subj, pred, obj) triples."""
+    from .core.artifacts import get_weights
     from .operators.canonicalize import entity_component_map
-    from .operators.link import surface_dictionary
+    from .operators.detect import detect_mentions
+    from .operators.link import link_mentions, surface_dictionary
     from .operators.triples import canonicalized_triples, emit_triples
 
-    records = q_kg_records(spark, sf_dir).withColumn(
-        "rec_id", F.col("rec_id").cast("int")
+    # records feed BOTH the detect branch and the pairing-text join:
+    # cache once instead of recomputing render/extract/pack per branch
+    records = (
+        q_kg_records(spark, sf_dir)
+        .withColumn("rec_id", F.col("rec_id").cast("int"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
     )
-    linked = q_kg_linked(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(get_weights())
+    linked = link_mentions(detect_mentions(records, bc), pages_src.entities_df(spark))
     raw = emit_triples(linked, records, pages_src.rules_df(spark))
     cmap = entity_component_map(
         pages_src.equivalences_df(spark, pages_src.doc_equivalences()),

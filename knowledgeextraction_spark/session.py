@@ -26,6 +26,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one BLAS thread per python worker: Spark supplies the
+    # parallelism; multi-threaded BLAS inside 32 workers just thrashes
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     master = master or os.environ.get("SPARKKG_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master == "local[*]" and cpus:
