@@ -109,3 +109,102 @@ def canonicalized_triples(triples: DataFrame, component_map: DataFrame) -> DataF
         )
         .distinct()
     )
+
+
+def emit_triples_narrow(
+    records_mentions: DataFrame,
+    rules: DataFrame,
+    entities: DataFrame,
+    component_map: DataFrame,
+) -> DataFrame:
+    """Shuffle-minimal triple emission from the fused detect output.
+
+    ``records_mentions``: (url, rec_id, text, mentions array<struct>) —
+    the detect stage's nested output. Because a record's mentions are
+    already co-located in one array, the M8 pairing needs NO self-join:
+    pairs are generated and delimiter-filtered inside the array
+    (transform×transform → filter → explode), which is a narrow map.
+    Rules, the entity dictionary, and the canonicalization map are all
+    dimension tables → broadcast joins. The ONLY shuffle in the whole
+    pages→triples plan is the final ``distinct``.
+
+    At 10^12 pages this is the plan that survives: the fact table never
+    shuffles until it has been reduced to (subj, pred, obj, url, rec)
+    tuples.
+    """
+    from .link import surface_dictionary
+
+    def _pair_ok(p):
+        between = F.col("text").substr(
+            p["m1"]["end_pos"] + 1, p["m2"]["start_pos"] - p["m1"]["end_pos"]
+        )
+        return (p["m1"]["start_pos"] < p["m2"]["start_pos"]) & ~between.rlike(
+            _DELIM_CLASS
+        )
+
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("mentions"),
+                lambda m1: F.transform(
+                    F.col("mentions"), lambda m2: F.struct(m1.alias("m1"), m2.alias("m2"))
+                ),
+            )
+        ),
+        _pair_ok,
+    )
+
+    pairs = (
+        records_mentions.withColumn("p", F.explode(pair_expr))
+        .select(
+            "url",
+            "rec_id",
+            F.expr("substring(text, p.m1.end_pos + 1, p.m2.start_pos - p.m1.end_pos)").alias(
+                "between"
+            ),
+            F.col("p.m1.label_type").alias("t1"),
+            F.col("p.m1.surface").alias("surf1"),
+            F.col("p.m2.label_type").alias("t2"),
+            F.col("p.m2.surface").alias("surf2"),
+        )
+    )
+
+    with_rules = pairs.join(
+        F.broadcast(rules),
+        (F.col("t1") == F.col("subj_label")) & (F.col("t2") == F.col("obj_label")),
+        "inner",
+    ).filter(F.instr(F.col("between"), F.col("pattern")) > 0)
+
+    dic = surface_dictionary(entities)
+    subj_dic = dic.select(
+        F.col("surface").alias("surf1"),
+        F.col("label_type").alias("t1"),
+        F.col("entity_id").alias("subj_entity"),
+    )
+    obj_dic = dic.select(
+        F.col("surface").alias("surf2"),
+        F.col("label_type").alias("t2"),
+        F.col("entity_id").alias("obj_entity"),
+    )
+    linked = with_rules.join(F.broadcast(subj_dic), ["surf1", "t1"]).join(
+        F.broadcast(obj_dic), ["surf2", "t2"]
+    )
+
+    subj_map = component_map.withColumnRenamed("entity_id", "subj_entity").withColumnRenamed(
+        "canonical_id", "subj_canon"
+    )
+    obj_map = component_map.withColumnRenamed("entity_id", "obj_entity").withColumnRenamed(
+        "canonical_id", "obj_canon"
+    )
+    return (
+        linked.join(F.broadcast(subj_map), "subj_entity", "left")
+        .join(F.broadcast(obj_map), "obj_entity", "left")
+        .select(
+            F.coalesce("subj_canon", "subj_entity").alias("subj_id"),
+            "predicate",
+            F.coalesce("obj_canon", "obj_entity").alias("obj_id"),
+            "url",
+            "rec_id",
+        )
+        .distinct()
+    )

@@ -27,7 +27,7 @@ from ..core.textops import extract_text
 from ..core.vocab import build_vocab
 from ..fixtures.generator import DELIMS, Corpus
 
-BATCH = 256
+BATCH = 128
 
 
 @dataclass(frozen=True)

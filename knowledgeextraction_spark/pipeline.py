@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.canonicalize import entity_component_map
-from .operators.detect import detect_mentions
+from .operators.detect import detect_mentions, detect_records_from_pages
 from .operators.extract import extracted_text
 from .operators.link import link_mentions, surface_dictionary
 from .operators.segment import packed_records
@@ -106,6 +106,30 @@ class KGPipeline:
         # than idle executors during the matmul)
         par = self.spark.sparkContext.defaultParallelism
         return detect_mentions(records.repartition(par), self.weights_bc)
+
+    def records_with_mentions(self, pages: DataFrame) -> DataFrame:
+        """Fused hot path (see detect_records_from_pages): pages →
+        (url, rec_id, text, mentions) in ONE python stage."""
+        par = self.spark.sparkContext.defaultParallelism
+        gated = pages.filter(F.col("lang") == self.lang).select("url", "html")
+        return detect_records_from_pages(
+            gated.repartition(par * 2), self.weights_bc, self.max_seq_length
+        )
+
+    @staticmethod
+    def split_records_mentions(rm: DataFrame) -> tuple[DataFrame, DataFrame]:
+        records = rm.select("url", "rec_id", "text")
+        mentions = rm.select(
+            "url", "rec_id", F.explode("mentions").alias("m")
+        ).select(
+            "url",
+            "rec_id",
+            F.col("m.start_pos").alias("start_pos"),
+            F.col("m.end_pos").alias("end_pos"),
+            F.col("m.label_type").alias("label_type"),
+            F.col("m.surface").alias("surface"),
+        )
+        return records, mentions
 
     def linked(self, mentions: DataFrame) -> DataFrame:
         return link_mentions(mentions, self.entities)

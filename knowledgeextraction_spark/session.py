@@ -30,6 +30,13 @@ def get_spark(
     # parallelism; multi-threaded BLAS inside 32 workers just thrashes
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # keep the model stage's large numpy buffers on the malloc heap:
+    # with the default mmap threshold every ~100 MB sub-batch is a fresh
+    # mmap/munmap + page-fault storm, and 32 concurrent workers contend
+    # on kernel memory locks (observed as erratic 2-4× slowdowns)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
 
     master = master or os.environ.get("SPARKKG_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -52,7 +59,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", os.environ.get("SPARKKG_LOCAL_DIR", "/dev/shm/sparkkg-tmp"))
         .config("spark.driver.memory", os.environ.get("SPARKKG_DRIVER_MEM", "8g"))
+        # commit + pre-touch the whole heap at startup and never shrink:
+        # G1's periodic region uncommit/recommit causes continuous page
+        # faults whose TLB-shootdown IPIs stall every core in the VM
+        # (measured: 100% system time across all python workers)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARKKG_DRIVER_MEM", "8g")
+            + " -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -130,3 +130,50 @@ def test_resume_skips_completed_stages(spark, corpus, tmp_path):
     lineage = spark.read.parquet(f"{out}/_lineage")
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
     assert stages == {"records", "mentions", "linked", "triples"}
+
+
+def test_fused_narrow_path_matches_granular(spark, corpus, pipeline_result, oracle_result):
+    """detect_records_from_pages + emit_triples_narrow == granular plan
+    == oracle, on every stage output."""
+    from knowledgeextraction_spark.operators.canonicalize import entity_component_map
+    from knowledgeextraction_spark.operators.link import surface_dictionary
+    from knowledgeextraction_spark.operators.triples import emit_triples_narrow
+
+    pages = fixture_pages(spark, corpus)
+    pipe = KGPipeline(
+        spark,
+        entities=entities_df(spark, corpus.entities),
+        rules=rules_df(spark, corpus.rules),
+        equivalences=equivalences_df(spark, corpus.equivalences),
+    )
+    rm = pipe.records_with_mentions(pages)
+    records, mentions = KGPipeline.split_records_mentions(rm)
+
+    oracle_records, oracle_mentions, oracle_triples = oracle_result
+    got_records = {(r["url"], r["rec_id"]): r["text"] for r in records.collect()}
+    assert got_records == oracle_records
+    got_m = {
+        (r["url"], r["rec_id"], r["start_pos"], r["end_pos"], r["label_type"], r["surface"])
+        for r in mentions.collect()
+    }
+    want_m = {
+        (m.url, m.rec_id, m.start_pos, m.end_pos, m.label_type, m.surface)
+        for m in oracle_mentions
+    }
+    assert got_m == want_m
+
+    cmap = entity_component_map(
+        equivalences_df(spark, corpus.equivalences),
+        surface_dictionary(entities_df(spark, corpus.entities)),
+    )
+    triples = emit_triples_narrow(
+        rm, rules_df(spark, corpus.rules), entities_df(spark, corpus.entities), cmap
+    )
+    got_t = {
+        (r["subj_id"], r["predicate"], r["obj_id"], r["url"], r["rec_id"])
+        for r in triples.collect()
+    }
+    want_t = {
+        (t.subj_id, t.predicate, t.obj_id, t.url, t.rec_id) for t in oracle_triples
+    }
+    assert got_t == want_t
