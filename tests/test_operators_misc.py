@@ -1,0 +1,222 @@
+"""Unit tests for dedup / similarity / conlleval / multimodal operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# conlleval vs a straightforward python reference
+# --------------------------------------------------------------------------
+
+
+def _py_chunks(tags):
+    chunks = []
+    cur = None
+    for i, tag in enumerate(tags):
+        if tag == "O":
+            if cur:
+                chunks.append(tuple(cur))
+                cur = None
+            continue
+        marker, typ = tag.split("-", 1)
+        if marker == "B" or cur is None or cur[2] != typ:
+            if cur:
+                chunks.append(tuple(cur))
+            cur = [i, i, typ]
+        else:
+            cur[1] = i
+    if cur:
+        chunks.append(tuple(cur))
+    return set(chunks)
+
+
+def _py_conlleval(sents):
+    gold_chunks = pred_chunks = correct = tok_ok = n_tok = 0
+    for gold, pred in sents:
+        g, p = _py_chunks(gold), _py_chunks(pred)
+        gold_chunks += len(g)
+        pred_chunks += len(p)
+        correct += len(g & p)
+        n_tok += len(gold)
+        tok_ok += sum(a == b for a, b in zip(gold, pred))
+    return {
+        "n_tokens": n_tok,
+        "token_accuracy": round(tok_ok / n_tok, 6),
+        "gold_chunks": gold_chunks,
+        "pred_chunks": pred_chunks,
+        "correct_chunks": correct,
+        "precision": round(correct / max(pred_chunks, 1), 6),
+        "recall": round(correct / max(gold_chunks, 1), 6),
+        "f1": round(2 * correct / max(pred_chunks + gold_chunks, 1), 6),
+    }
+
+
+def _to_df(spark, sents):
+    rows = []
+    for sid, (gold, pred) in enumerate(sents):
+        for pos, (g, p) in enumerate(zip(gold, pred)):
+            rows.append((sid, pos, g, p))
+    return spark.createDataFrame(rows, "sent_id int, pos int, gold string, pred string")
+
+
+FIXTURE = [
+    # exact match
+    (["B-A", "I-A", "O", "B-B"], ["B-A", "I-A", "O", "B-B"]),
+    # boundary error: pred chunk too short
+    (["B-A", "I-A", "I-A", "O"], ["B-A", "I-A", "O", "O"]),
+    # type error
+    (["B-A", "I-A", "O", "O"], ["B-B", "I-B", "O", "O"]),
+    # I-after-other-type starts a new chunk (conlleval rule)
+    (["B-A", "I-B", "O", "O"], ["B-A", "I-B", "O", "O"]),
+    # adjacent chunks via B-B
+    (["B-A", "B-A", "I-A", "O"], ["B-A", "B-A", "I-A", "O"]),
+    # all O
+    (["O", "O", "O"], ["O", "B-A", "O"]),
+]
+
+
+def test_conll_eval_matches_python_reference(spark):
+    from knowledgeextraction_spark.operators.conlleval import conll_eval
+
+    got = conll_eval(_to_df(spark, FIXTURE)).collect()[0].asDict()
+    want = _py_conlleval(FIXTURE)
+    assert got == want, (got, want)
+
+
+def test_conll_eval_hand_computed():
+    """Hand-audited fixture: 8 gold chunks (2+1+1+2+2+0), 9 pred chunks
+    (s5's spurious B-A), 6 exact-boundary matches (s0: 2, s3: 2, s4: 2)."""
+    want = _py_conlleval(FIXTURE)
+    assert want["gold_chunks"] == 8
+    assert want["pred_chunks"] == 9
+    assert want["correct_chunks"] == 6
+    assert want["precision"] == round(6 / 9, 6)
+    assert want["recall"] == 0.75
+
+
+def test_to_prefix_format(spark):
+    from knowledgeextraction_spark.operators.conlleval import to_prefix
+
+    df = spark.createDataFrame(
+        [("disease-B",), ("disease-I",), ("O",), ("a-b-I",)], "tag string"
+    )
+    got = [r[0] for r in df.select(to_prefix(F.col("tag"))).collect()]
+    assert got == ["B-disease", "I-disease", "O", "I-a-b"]
+
+
+# --------------------------------------------------------------------------
+# dedup building blocks
+# --------------------------------------------------------------------------
+
+
+def test_exact_duplicates(spark):
+    from knowledgeextraction_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2 and got[0]["keep_doc_id"] == 1
+
+
+def test_word_shingles(spark):
+    from knowledgeextraction_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(docs.select(word_shingles()).collect()[0][0])
+    assert got == ["a b c", "b c d"]
+
+
+def test_lsh_finds_identical_docs(spark):
+    from knowledgeextraction_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    cands = lsh_candidate_pairs(docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = ngram_jaccard_pairs(docs, cands, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in verified] == [(1, 2, 1.0)]
+
+
+def test_simhash_close_for_similar_docs(spark):
+    from knowledgeextraction_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w9"),  # one word differs
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8"),  # all words differ
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    d12 = bin(h[1] ^ h[2]).count("1")
+    d13 = bin(h[1] ^ h[3]).count("1")
+    assert d12 < d13
+
+
+# --------------------------------------------------------------------------
+# similarity: LSH recall vs brute force
+# --------------------------------------------------------------------------
+
+
+def test_lsh_topk_recall(spark):
+    from knowledgeextraction_spark.operators.similarity import cosine_topk, lsh_topk
+
+    # clustered data: true neighbors are genuinely close, so hyperplane
+    # LSH keeps them in one bucket w.h.p. (uniform-random vectors have
+    # no meaningful neighbors and any ANN recall on them is noise)
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((10, 16)) * 5
+    vecs = np.concatenate(
+        [c + rng.standard_normal((20, 16)) * 0.3 for c in centers]
+    )
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, q, k=5, n_planes=6, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low on clustered data: {recall}"
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    from knowledgeextraction_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", "fakebytes1", 64, 64), (2, "audio", "fakebytes2", None, None)],
+        "media_id long, kind string, payload string, width int, height int",
+    )
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert got[1]["n_bytes"] == len(b"fakebytes1")
+    assert len(got[1]["feature"]) == FEATURE_DIM
+    assert got[1]["feature"] != got[2]["feature"]
+    # deterministic
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert got[1]["feature"] == again[1]["feature"]
