@@ -55,6 +55,15 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     # warm the JVM + python workers once (excluded from timings)
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        import numpy as _np  # noqa: F401
+
+        return x
+
+    spark.range(cpus * 4).repartition(cpus * 4).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -218,29 +218,29 @@ def q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8/M9/M10: the flagship — canonicalized (subj, pred, obj) triples."""
+    """M8/M9/M10: the flagship — canonicalized (subj, pred, obj) triples.
+
+    Uses the fused narrow plan (ARCHITECTURE.md §1): scan → one fused
+    detect mapInPandas → in-array pairing → broadcast joins → distinct.
+    Parity with the granular operator chain and the numpy oracle is
+    asserted in tests/test_spark_pipeline.py."""
     from .core.artifacts import get_weights
     from .operators.canonicalize import entity_component_map
-    from .operators.detect import detect_mentions
-    from .operators.link import link_mentions, surface_dictionary
-    from .operators.triples import canonicalized_triples, emit_triples
+    from .operators.detect import detect_records_from_pages
+    from .operators.link import surface_dictionary
+    from .operators.triples import emit_triples_narrow
 
-    # records feed BOTH the detect branch and the pairing-text join:
-    # cache once instead of recomputing render/extract/pack per branch
-    records = (
-        q_kg_records(spark, sf_dir)
-        .withColumn("rec_id", F.col("rec_id").cast("int"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .cache()
-    )
+    par = spark.sparkContext.defaultParallelism
+    zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
     bc = spark.sparkContext.broadcast(get_weights())
-    linked = link_mentions(detect_mentions(records, bc), pages_src.entities_df(spark))
-    raw = emit_triples(linked, records, pages_src.rules_df(spark))
+    rm = detect_records_from_pages(zh.repartition(par), bc)
     cmap = entity_component_map(
         pages_src.equivalences_df(spark, pages_src.doc_equivalences()),
         surface_dictionary(pages_src.entities_df(spark)),
     )
-    return canonicalized_triples(raw, cmap)
+    return emit_triples_narrow(
+        rm, pages_src.rules_df(spark), pages_src.entities_df(spark), cmap
+    )
 
 
 # ---------------------------------------------------------------------------
