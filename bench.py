@@ -65,6 +65,20 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     spark.range(cpus * 4).repartition(cpus * 4).select(_warm("id")).count()
 
+    # mini fused-detect job: forces every worker to import the package,
+    # fetch the (session-shared) weights broadcast, and fold the tables
+    # — one-time costs that otherwise land on the first timed query
+    from knowledgeextraction_spark.broadcast import weights_broadcast
+    from knowledgeextraction_spark.core.textops import render_html
+    from knowledgeextraction_spark.operators.detect import detect_records_from_pages
+
+    bc = weights_broadcast(spark)
+    dummy = spark.createDataFrame(
+        [(f"u{i}", render_html("丞业。", "zh")) for i in range(cpus * 4)],
+        "url string, html binary",
+    ).repartition(cpus * 4)
+    detect_records_from_pages(dummy, bc).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     n_triples = 0

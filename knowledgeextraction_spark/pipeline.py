@@ -86,9 +86,9 @@ class KGPipeline:
     @property
     def weights_bc(self):
         if self._weights_bc is None:
-            from .core.artifacts import get_weights
+            from .broadcast import weights_broadcast
 
-            self._weights_bc = self.spark.sparkContext.broadcast(get_weights())
+            self._weights_bc = weights_broadcast(self.spark)
         return self._weights_bc
 
     # --- stage declarations (lazy) -------------------------------------

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .broadcast import weights_broadcast
 from .operators import dedup, similarity, textstats
 from .operators.conlleval import conll_eval
 from .operators.segment import packed_records, sentence_table
@@ -206,8 +207,7 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rebalance before the FLOP-heavy encoder (see pipeline.mentions)
     records = records.repartition(spark.sparkContext.defaultParallelism)
-    bc = spark.sparkContext.broadcast(get_weights())
-    return detect_mentions(records, bc)
+    return detect_mentions(records, weights_broadcast(spark))
 
 
 def q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,8 +232,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
-    bc = spark.sparkContext.broadcast(get_weights())
-    rm = detect_records_from_pages(zh.repartition(par), bc)
+    rm = detect_records_from_pages(zh.repartition(par), weights_broadcast(spark))
     cmap = entity_component_map(
         pages_src.equivalences_df(spark, pages_src.doc_equivalences()),
         surface_dictionary(pages_src.entities_df(spark)),

@@ -177,3 +177,36 @@ def test_fused_narrow_path_matches_granular(spark, corpus, pipeline_result, orac
         (t.subj_id, t.predicate, t.obj_id, t.url, t.rec_id) for t in oracle_triples
     }
     assert got_t == want_t
+
+
+def test_distributed_components_match_driver_path(spark, corpus):
+    """The iterative min-label-propagation CC (the 100-TB path) and the
+    driver union-find fast path produce identical components."""
+    from knowledgeextraction_spark.operators.canonicalize import connected_components
+    from knowledgeextraction_spark.operators.link import surface_dictionary
+
+    sid = surface_dictionary(entities_df(spark, corpus.entities)).select(
+        "surface", "entity_id"
+    )
+    from pyspark.sql import functions as F
+
+    e = (
+        equivalences_df(spark, corpus.equivalences)
+        .join(sid.withColumnRenamed("surface", "surface_a"), "surface_a")
+        .withColumnRenamed("entity_id", "src")
+        .join(
+            sid.withColumnRenamed("surface", "surface_b").withColumnRenamed(
+                "entity_id", "dst"
+            ),
+            "surface_b",
+        )
+        .select("src", "dst")
+    )
+    dist = {
+        (r["id"], r["component"])
+        for r in connected_components(e, driver_threshold=0).collect()
+    }
+    local = {
+        (r["id"], r["component"]) for r in connected_components(e).collect()
+    }
+    assert dist == local and len(dist) > 0
