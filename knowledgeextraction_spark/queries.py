@@ -928,6 +928,8 @@ FROM tok, g, p, correct
 # registry
 # ---------------------------------------------------------------------------
 
+from .queries_relational import ORACLES2, QUERIES2  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # KG pipeline (SQL-checked stages)
     "kg_extract_text": q_kg_extract_text,
@@ -967,6 +969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "three_way_split": q_three_way_split,
     "doc_spans": q_doc_spans,
     "conlleval_metrics": q_conlleval,
+    # batch 2: MRC-path + relational coverage (queries_relational.py)
+    **QUERIES2,
 }
 
 ORACLES: dict[str, str] = {
@@ -999,4 +1003,5 @@ ORACLES: dict[str, str] = {
     "three_way_split": sql_three_way_split(),
     "doc_spans": sql_doc_spans(),
     "conlleval_metrics": sql_conlleval(),
+    **ORACLES2,
 }
