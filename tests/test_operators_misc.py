@@ -220,3 +220,48 @@ def test_multimodal_feature_extraction(spark):
     # deterministic
     again = {r["media_id"]: r for r in extract_features(media).collect()}
     assert got[1]["feature"] == again[1]["feature"]
+
+
+# --------------------------------------------------------------------------
+# M6: NRE entity-marked encoding
+# --------------------------------------------------------------------------
+
+
+def test_nre_encode_pair_semantics():
+    from knowledgeextraction_spark.core.nre import encode_pair
+    from knowledgeextraction_spark.core.vocab import CLS_ID, SEP_ID, build_vocab
+
+    vocab = build_vocab()
+    u = [vocab[f"[unused{i}]"] for i in range(3, 7)]
+    text = "甲乙HEAD丙TAIL丁"
+    # head at [2,6) = 'HEAD', tail at [7,11) = 'TAIL'
+    ids, mask, ph, pt = encode_pair(text, (2, 6), (7, 11), max_length=32)
+    assert ids[0] == CLS_ID
+    # [CLS] 甲 乙 [u0] H E A D [u1] 丙 [u2] T A I L [u3] 丁 [SEP]
+    assert ids[3] == u[0] and ids[8] == u[1]
+    assert ids[10] == u[2] and ids[15] == u[3]
+    assert ids[17] == SEP_ID
+    assert ph == 3 and pt == 10  # marker positions (1 + len(sent0), ...)
+    assert sum(mask) == 18
+    assert len(ids) == len(mask) == 32
+
+    # reversed order: head after tail → markers swap (rev flag)
+    ids_r, _m, ph_r, pt_r = encode_pair(text, (7, 11), (2, 6), max_length=32)
+    assert ids_r == ids[:3] + [u[2]] + ids[4:8] + [u[3]] + [ids[9]] + [u[0]] + ids[11:15] + [u[1]] + ids[16:]
+    assert ph_r == 10 and pt_r == 3
+
+
+def test_nre_encode_pairs_operator(spark):
+    from knowledgeextraction_spark.operators.nre import encode_pairs
+
+    pairs = spark.createDataFrame(
+        [("u1", 0, 1, "甲乙HEAD丙TAIL丁", 2, 6, 7, 11)],
+        "url string, rec_id int, pair_id long, text string, "
+        "h_start int, h_end int, t_start int, t_end int",
+    )
+    got = encode_pairs(pairs, max_length=32).collect()[0]
+    from knowledgeextraction_spark.core.nre import encode_pair
+
+    ids, mask, ph, pt = encode_pair("甲乙HEAD丙TAIL丁", (2, 6), (7, 11), 32)
+    assert got["token_ids"] == ids and got["att_mask"] == mask
+    assert got["pos_head"] == ph and got["pos_tail"] == pt
