@@ -22,7 +22,7 @@ Scale design (SURVEY.md §4 item 1):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

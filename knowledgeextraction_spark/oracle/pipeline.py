@@ -19,7 +19,7 @@ import numpy as np
 
 from ..core.artifacts import get_weights
 from ..core.bio import tags_to_mentions
-from ..core.featurize import MAX_SEQ_LENGTH, convert_single_example, recover_tags
+from ..core.featurize import convert_single_example, recover_tags
 from ..core.labels import INV_LABEL_MAP
 from ..core.model import encode_logits_trimmed, viterbi_decode
 from ..core.packing import pack_sentences

@@ -199,7 +199,6 @@ ORDER BY s.surface
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M2 mention detection (model-based → rows-only check here;
     exact parity is pytest's oracle gate)."""
-    from .core.artifacts import get_weights
     from .operators.detect import detect_mentions
 
     records = q_kg_records(spark, sf_dir).withColumn(
@@ -224,7 +223,6 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     detect mapInPandas → in-array pairing → broadcast joins → distinct.
     Parity with the granular operator chain and the numpy oracle is
     asserted in tests/test_spark_pipeline.py."""
-    from .core.artifacts import get_weights
     from .operators.canonicalize import entity_component_map
     from .operators.detect import detect_records_from_pages
     from .operators.link import surface_dictionary
