@@ -50,6 +50,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     from knowledgeextraction_spark.session import get_spark
 
     get_weights()  # warm the artifact cache outside the timed region
+    # the bench harness opts into RAM-backed shuffle spill (its shuffle
+    # volume at sf<=0.1 is far below the VM's 128 GiB); get_spark's
+    # default is the on-disk system tempdir
+    os.environ.setdefault("SPARKKG_LOCAL_DIR", "/dev/shm/sparkkg-tmp")
     spark = get_spark("sparkkg-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,7 +90,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         q = QUERIES[name]
         t0 = time.monotonic()
         df = q(spark, sf_dir)
-        n = df.count()
+        if name == "kg_triples":
+            # count() cannot prune anything here (the query ends in a
+            # distinct over all output columns) and we need the row
+            # count for triples/sec — one timed action, no re-run
+            n = df.count()
+        else:
+            # noop sink forces every output column to be fully computed;
+            # count() let Catalyst prune projection expressions on
+            # row-count-preserving queries (text_stats, token_counts),
+            # under-measuring the actual query work
+            df.write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt

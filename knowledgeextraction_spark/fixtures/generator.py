@@ -40,7 +40,10 @@ _TYPE_POOL_SIZE = 40  # chars per entity type
 _FILLER_POOL = [chr(_POOL_BASE + 1000 + i) for i in range(300)]
 _CONNECTIVE_POOL = [chr(_POOL_BASE + 1400 + i) for i in range(40)]
 
-DELIMS = ["，", "。", "！", "？", "；"]
+# sentence terminators emitted by the corpus generator; includes the
+# reference's two-char ellipsis '……' (text_segment.py:27) so fixtures
+# exercise the multi-char-delimiter path in segmentation and pairing
+DELIMS = ["，", "。", "！", "？", "；", "……"]
 QUOTE_OPEN, QUOTE_CLOSE = "“", "”"
 
 

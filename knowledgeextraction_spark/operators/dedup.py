@@ -25,6 +25,8 @@ results bit-for-bit (Spark's hash()/xxhash64 are not portable).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,30 +66,47 @@ def shingle_table(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(word_shingles()).alias("shingle"))
 
 
-def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_bands: int = N_BANDS, shingles: DataFrame | None = None
+) -> DataFrame:
     """→ (doc_id, band, sig): per-band minhash via min(md5(band:shingle)).
 
-    The agg is a map-side-combinable min — the shuffle moves one row per
-    (doc, band), not one per shingle.
+    One pass over the shingle table: a single groupBy(doc_id) computes
+    all ``n_bands`` mins as separate map-side-combinable aggregates, and
+    the (band, sig) rows are exploded AFTER aggregation — so neither the
+    scan nor the shuffle is amplified ``n_bands``× (the earlier
+    crossJoin-with-a-band-table formulation exploded every shingle row
+    8-fold before the combine).
+
+    Pass ``shingles`` to reuse an already-built (cached) shingle table.
     """
-    sh = shingle_table(docs)
-    bands = docs.sparkSession.range(n_bands).select(
-        F.col("id").cast("int").alias("band")
-    )
-    return (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(
+    sh = shingles if shingles is not None else shingle_table(docs)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
             F.min(
-                F.md5(F.concat_ws(":", F.col("band").cast("string"), F.col("shingle")))
-            ).alias("sig")
-        )
+                F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+            ).alias(f"sig{b}")
+            for b in range(n_bands)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"), F.col(f"sig{b}").alias("sig")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return per_doc.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, n_bands: int = N_BANDS, shingles: DataFrame | None = None
+) -> DataFrame:
     """→ (doc_a, doc_b) distinct candidate pairs sharing any band bucket."""
-    sig = minhash_signatures(docs, n_bands)
+    sig = minhash_signatures(docs, n_bands, shingles=shingles)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -99,14 +118,18 @@ def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.5
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for pairs ≥ threshold.
 
     With ``candidates`` (from LSH) only those pairs are verified — the
     100-TB path. Without, all co-shingled pairs are scored (test scale).
+    Pass ``shingles`` to reuse an already-built (cached) shingle table.
     """
-    sh = shingle_table(docs)
+    sh = shingles if shingles is not None else shingle_table(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -146,34 +169,37 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     word hash = first 15 hex digits of md5 (portable to the oracle);
     bit b of the simhash = 1 iff Σ_words (±1 per bit) > 0, weighting
     each word by its occurrence count.
+
+    One-pass plan: a single groupBy(doc_id) with one conditional-sum
+    aggregate per bit.  Each map task pre-combines its (doc, word)
+    occurrences into 60 longs per doc, so the shuffle carries
+    60·8 bytes per (doc, map-partition) — no row explosion.  (The
+    previous formulation crossJoined a 60-row bit table against the
+    word table, a 60× shuffle amplification at scale.)
     """
     words = docs.select(
         "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
     ).filter(F.length("word") > 0)
-    counted = words.groupBy("doc_id", "word").agg(F.count("*").alias("w"))
-    hashed = counted.withColumn(
-        "h", F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
+    # Per-occurrence ±1 per bit sums to the same total as ±count per
+    # distinct word, so no (doc_id, word) pre-count is needed.
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bit_ids = docs.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
-    per_bit = (
-        hashed.crossJoin(F.broadcast(bit_ids))
-        .withColumn(
-            "contrib",
-            F.when(
-                F.expr("(h >> bit) & 1") == 1,
-                F.col("w"),
-            ).otherwise(-F.col("w")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return per_bit.groupBy("doc_id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long"),
+        range(bits),
+        F.lit(0).cast("long"),
     )
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -37,9 +37,16 @@ def surface_dictionary(entities: DataFrame) -> DataFrame:
         "entity_id",
         "label_type",
     )
-    return surfaces.withColumn(
-        "surface", F.regexp_replace("surface", r"\d", "0")
-    ).dropDuplicates(["surface"])
+    # Deterministic dedup: one row per (surface, label_type) keyed to the
+    # smallest entity_id.  (dropDuplicates(['surface']) picked an arbitrary
+    # row when digit-normalization made surfaces collide, and silently
+    # dropped cross-type homonyms — the label_type filter downstream then
+    # lost those mentions entirely.)
+    return (
+        surfaces.withColumn("surface", F.regexp_replace("surface", r"\d", "0"))
+        .groupBy("surface", "label_type")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
 
 
 def link_mentions(

@@ -27,8 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# the reference delimiter set (text_segment.py:27), as a regex class
-_DELIM_CLASS = "[；，？。！…]"
+# The reference delimiter set (text_segment.py:27): '；' '，' '？' '。'
+# '！' and the TWO-character ellipsis '……' — a lone '…' is NOT a sentence
+# delimiter in the reference.  Single source of truth shared with the
+# numpy oracle (oracle/pipeline.py) so the Spark regex and the oracle's
+# substring check can never diverge.
+DELIMITERS = ("；", "，", "？", "。", "！", "……")
+_DELIM_RE = "|".join(DELIMITERS)
 
 
 def emit_triples(
@@ -64,7 +69,7 @@ def emit_triples(
     with_text = pairs.join(records.select("url", "rec_id", "text"), ["url", "rec_id"])
     with_between = with_text.withColumn(
         "between", F.expr("substring(text, e1 + 1, s2 - e1)")
-    ).filter(~F.col("between").rlike(_DELIM_CLASS))
+    ).filter(~F.col("between").rlike(_DELIM_RE))
 
     out = (
         with_between.join(
@@ -139,7 +144,7 @@ def emit_triples_narrow(
             p["m1"]["end_pos"] + 1, p["m2"]["start_pos"] - p["m1"]["end_pos"]
         )
         return (p["m1"]["start_pos"] < p["m2"]["start_pos"]) & ~between.rlike(
-            _DELIM_CLASS
+            _DELIM_RE
         )
 
     pair_expr = F.filter(

@@ -25,7 +25,8 @@ from ..core.model import encode_logits_trimmed, viterbi_decode
 from ..core.packing import pack_sentences
 from ..core.textops import extract_text
 from ..core.vocab import build_vocab
-from ..fixtures.generator import DELIMS, Corpus
+from ..fixtures.generator import Corpus
+from ..operators.triples import DELIMITERS
 
 BATCH = 128
 
@@ -112,7 +113,7 @@ def emit_triples(
                 if m1.start_pos >= m2.start_pos or i == j:
                     continue
                 between = text[m1.end_pos : m2.start_pos]
-                if any(d in between for d in DELIMS):
+                if any(d in between for d in DELIMITERS):
                     continue
                 rule = rule_by_pair.get((m1.label_type, m2.label_type))
                 if rule is None or rule.pattern not in between:

@@ -190,7 +190,8 @@ reach(a, b) AS (
   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
 ),
 comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
-SELECT s.surface, coalesce(c.component, s.entity_id) AS component_id
+SELECT s.surface,
+       CAST(coalesce(c.component, s.entity_id) AS BIGINT) AS component_id
 FROM surfaces s LEFT JOIN comp c ON s.entity_id = c.id
 ORDER BY s.surface
 """
@@ -312,9 +313,15 @@ WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_with_replicas(spark, sf_dir)
-    cands = dedup.lsh_candidate_pairs(d)
+    # the shingle table feeds BOTH the LSH candidate stage and the
+    # Jaccard verify — build it once and persist (memory-and-disk: at
+    # 100 TB it spills rather than recomputing the scan+explode twice)
+    from pyspark import StorageLevel
+
+    sh = dedup.shingle_table(d).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = dedup.lsh_candidate_pairs(d, shingles=sh)
     return (
-        dedup.ngram_jaccard_pairs(d, cands, threshold=0.5)
+        dedup.ngram_jaccard_pairs(d, cands, threshold=0.5, shingles=sh)
         .withColumn("jaccard", F.round("jaccard", 6))
         .orderBy("doc_a", "doc_b")
     )
@@ -374,7 +381,8 @@ per_bit AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
 FROM per_bit GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -632,9 +640,35 @@ def q_vocab_min_occur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 100)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return counts.withColumn("word_id", F.row_number().over(w).cast("long")).orderBy(
-        "word_id"
+    # Scale-safe global ranking — no single-partition Window.orderBy:
+    # range-partition on the sort key, rank locally per partition, then
+    # add per-partition offsets (a tiny #partitions-sized table computed
+    # with a window over partition ids and broadcast back).  Global ids
+    # are exact for any range-boundary placement because (n desc, word)
+    # is a strict total order and range partitions are key-ordered.
+    from pyspark import StorageLevel
+
+    ranged = counts.repartitionByRange(F.desc("n"), F.asc("word")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("n"), F.asc("word"))
+    # persisted: feeds both the offsets branch and the final join —
+    # without it the full word-count scan+groupBy runs twice
+    local = ranged.withColumn("local_rn", F.row_number().over(w_local)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("word_id", (F.col("local_rn") + F.col("offset")).cast("long"))
+        .select("word", "n", "word_id")
+        .orderBy("word_id")
     )
 
 

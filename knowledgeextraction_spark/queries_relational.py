@@ -32,11 +32,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as gap-based sessionization: a >30 min gap starts a new session."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # Microsecond-exact gaps: second-truncated casts diverge from the
+    # oracle when a gap straddles the 1800s boundary by <1s.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     with_s = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     ).withColumn("session_id", F.sum("new_session").over(w))
     return (
         with_s.groupBy("user_id", "session_id")
@@ -55,13 +57,14 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM (
   SELECT user_id, event_id,
-         sum(new_session) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+           AS session_id
   FROM (
     SELECT user_id, event_id, ts,
-           CASE WHEN epoch(ts) - lag(epoch(ts))
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > 1800
+                     > 1800 * 1000000
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      IS NULL
                 THEN 1 ELSE 0 END AS new_session

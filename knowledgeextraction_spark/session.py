@@ -14,6 +14,7 @@ Common-Crawl-style pages) while testable on local[N]:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -59,7 +60,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.local.dir", os.environ.get("SPARKKG_LOCAL_DIR", "/dev/shm/sparkkg-tmp"))
+        # shuffle spill location: system temp by default; RAM-backed
+        # /dev/shm only when the caller opts in (the bench harness does
+        # — it knows its shuffle volume fits), because tmpfs spill is a
+        # memory-exhaustion footgun for shuffle-heavy jobs in general
+        .config("spark.local.dir", os.environ.get("SPARKKG_LOCAL_DIR", tempfile.gettempdir()))
         .config("spark.driver.memory", os.environ.get("SPARKKG_DRIVER_MEM", "8g"))
         # commit + pre-touch the whole heap at startup and never shrink:
         # G1's periodic region uncommit/recommit causes continuous page

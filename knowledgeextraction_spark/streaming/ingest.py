@@ -6,8 +6,11 @@ the batch pipeline is the core engine. This module adds the incremental
 path SURVEY.md §2.9 earmarked: new page files landing in a directory
 (the parquet stand-in for Iceberg incremental snapshot reads) stream
 through the SAME fused batch operators inside ``foreachBatch`` and
-append to the triples table. Exactly-once comes from the streaming
-checkpoint (source offsets) + idempotent append per epoch.
+land in the triples table. Exactly-once comes from the streaming
+checkpoint (source offsets) + an epoch-keyed idempotent write: each
+micro-batch overwrites its own ``epoch_id=N`` partition, so a replay
+after a crash between sink write and commit-log write is a no-op
+rewrite, never a duplicate append.
 
 No event-time logic is needed (warc_ts is a partitioning column, not a
 watermark driver), so foreachBatch over micro-batches is the idiomatic
@@ -27,6 +30,27 @@ from ..operators.detect import detect_records_from_pages
 from ..operators.link import surface_dictionary
 from ..operators.triples import emit_triples_narrow
 from ..sources.pages import PAGES_SCHEMA
+
+
+def write_epoch(triples: DataFrame, triples_path: str, epoch_id: int) -> None:
+    """Idempotent per-epoch sink write for ``foreachBatch``.
+
+    foreachBatch delivers each epoch at-least-once: a crash between the
+    sink write and the streaming commit-log write replays the epoch.
+    Writing each epoch into its own ``epoch_id=N`` partition directory
+    with dynamic partition OVERWRITE makes the replay a no-op rewrite of
+    that one directory — never a duplicate append — upgrading the
+    end-to-end guarantee to exactly-once.
+    """
+    import pyspark.sql.functions as F
+
+    (
+        triples.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(triples_path)
+    )
 
 
 def incremental_triples(
@@ -60,7 +84,7 @@ def incremental_triples(
         zh = batch_df.filter(F.col("lang") == lang).select("url", "html")
         rm = detect_records_from_pages(zh, bc)
         triples = emit_triples_narrow(rm, rules, entities, cmap)
-        triples.write.mode("append").parquet(triples_path)
+        write_epoch(triples, triples_path, epoch_id)
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)

@@ -265,3 +265,80 @@ def test_nre_encode_pairs_operator(spark):
     ids, mask, ph, pt = encode_pair("甲乙HEAD丙TAIL丁", (2, 6), (7, 11), 32)
     assert got["token_ids"] == ids and got["att_mask"] == mask
     assert got["pos_head"] == ph and got["pos_tail"] == pt
+
+
+# --------------------------------------------------------------------------
+# delimiter semantics: two-char '……' is a delimiter, lone '…' is not
+# --------------------------------------------------------------------------
+
+
+def test_triple_delimiters_match_reference(spark):
+    """The reference splits on '……' (text_segment.py:27); a lone '…' is
+    NOT a sentence delimiter — pairs across '…' must still pair, pairs
+    across '……' must not."""
+    from knowledgeextraction_spark.operators.triples import emit_triples
+
+    def mention(url, rec, s, e, t, surf, eid):
+        return (url, rec, s, e, t, surf, eid)
+
+    schema = (
+        "url string, rec_id int, start_pos int, end_pos int, "
+        "label_type string, surface string, entity_id long"
+    )
+    # rec 0: A…B (lone ellipsis between) — keep; rec 1: A……B — reject
+    mentions = spark.createDataFrame(
+        [
+            mention("u", 0, 0, 1, "T1", "甲", 1),
+            mention("u", 0, 3, 4, "T2", "乙", 2),
+            mention("u", 1, 0, 1, "T1", "甲", 1),
+            mention("u", 1, 4, 5, "T2", "乙", 2),
+        ],
+        schema,
+    )
+    records = spark.createDataFrame(
+        [("u", 0, "甲连…乙"), ("u", 1, "甲连……乙")],
+        "url string, rec_id int, text string",
+    )
+    rules = spark.createDataFrame(
+        [("T1", "T2", "连", "rel")],
+        "subj_label string, obj_label string, pattern string, predicate string",
+    )
+    got = {
+        (r.subj_id, r.predicate, r.obj_id, r.rec_id)
+        for r in emit_triples(mentions, records, rules).collect()
+    }
+    assert got == {(1, "rel", 2, 0)}
+
+
+def test_oracle_and_spark_share_delimiters():
+    from knowledgeextraction_spark.operators import triples as t
+    from knowledgeextraction_spark.oracle import pipeline as o
+
+    assert o.DELIMITERS is t.DELIMITERS
+    assert "……" in t.DELIMITERS and "…" not in t.DELIMITERS
+
+
+# --------------------------------------------------------------------------
+# streaming sink: epoch replay is idempotent (exactly-once)
+# --------------------------------------------------------------------------
+
+
+def test_write_epoch_replay_is_idempotent(spark, tmp_path):
+    from knowledgeextraction_spark.streaming.ingest import write_epoch
+
+    out = str(tmp_path / "triples")
+    schema = "subj_id long, predicate string, obj_id long, url string, rec_id int"
+    batch0 = spark.createDataFrame([(1, "r", 2, "u", 0)], schema)
+    batch1 = spark.createDataFrame([(3, "r", 4, "u", 1)], schema)
+
+    write_epoch(batch0, out, 0)
+    write_epoch(batch1, out, 1)
+    # crash-replay of epoch 1: same data written again under epoch_id=1
+    write_epoch(batch1, out, 1)
+
+    rows = {
+        (r.subj_id, r.predicate, r.obj_id, r.url, r.rec_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert spark.read.parquet(out).count() == 2
+    assert rows == {(1, "r", 2, "u", 0), (3, "r", 4, "u", 1)}
