@@ -14,6 +14,7 @@ oracle parity.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1005,8 +1006,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES2,
 }
 
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
+
+
+def sql_golden(name: str) -> str:
+    """Oracle for the model-based flagship queries: committed golden
+    parquet produced by the INDEPENDENT single-node numpy oracle
+    (oracle/docworld.py — no Spark in that path).  Regenerate with
+    ``python -m knowledgeextraction_spark.oracle.docworld``; freshness
+    vs a live numpy run is asserted in tests/test_docworld_golden.py.
+    The driver compares at sf0.01 (the default); local pytest points
+    SPARKKG_GOLDEN_SF at its own scale factor (tests/conftest.py)."""
+    sf = os.environ.get("SPARKKG_GOLDEN_SF", "sf0.01")
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{sf}/{name}.parquet')"
+
+
 ORACLES: dict[str, str] = {
     "kg_extract_text": sql_kg_extract_text(),
+    "kg_mentions": sql_golden("kg_mentions"),
+    "kg_linked": sql_golden("kg_linked"),
+    "kg_triples": sql_golden("kg_triples"),
     "kg_lang_gate": sql_kg_lang_gate(),
     "kg_sentences": sql_kg_sentences(),
     "kg_records": sql_kg_records(),

@@ -1,4 +1,14 @@
+import os
+
 import pytest
+
+# Point the golden-parquet oracles (kg_mentions/linked/triples) at the
+# same scale factor the local duckdb-parity tests run at.  Must be set
+# before knowledgeextraction_spark.queries is first imported.
+_SF = os.path.basename(
+    os.environ.get("SPARKKG_TEST_SF", "/root/testdata/sf0.001").rstrip("/")
+)
+os.environ.setdefault("SPARKKG_GOLDEN_SF", _SF)
 
 
 @pytest.fixture(scope="session")
