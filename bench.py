@@ -36,6 +36,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 HEADLINE = [
     "kg_triples",
     "kg_mentions",
+    "mrc_answers",
     "dedup_minhash",
     "dedup_jaccard",
     "similarity_topk",
@@ -82,6 +83,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "url string, html binary",
     ).repartition(cpus * 4)
     detect_records_from_pages(dummy, bc).count()
+
+    # mini MRC job: same one-time warm-up for the MRC stage — fold the
+    # per-type head tables and first-touch the f64 scratch on every
+    # worker (the page-fault storm otherwise lands on the timed query)
+    from knowledgeextraction_spark.broadcast import mrc_weights_broadcast
+    from knowledgeextraction_spark.operators.mrc import mrc_answers
+
+    mrc_bc = mrc_weights_broadcast(spark)
+    # 4 pages × 8 types = exactly one full 32-example sub-batch per
+    # worker, at near-max sequence length — touches the whole scratch
+    mrc_dummy = spark.createDataFrame(
+        [(f"u{i}", "丞业连乙甲。" * 60) for i in range(cpus * 4)],
+        "url string, text string",
+    ).repartition(cpus)
+    mrc_answers(mrc_dummy, mrc_bc).count()
 
     timings: dict[str, float] = {}
     total = 0.0

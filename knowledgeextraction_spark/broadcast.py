@@ -11,17 +11,29 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-_CACHE: dict[int, object] = {}
+_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _cached_broadcast(spark: SparkSession, name: str, loader):
+    sc = spark.sparkContext
+    key = (id(sc), name)
+    bc = _CACHE.get(key)
+    if bc is None:
+        for k in [k for k in _CACHE if k[0] != id(sc)]:
+            del _CACHE[k]
+        bc = sc.broadcast(loader())
+        _CACHE[key] = bc
+    return bc
 
 
 def weights_broadcast(spark: SparkSession):
     from .core.artifacts import get_weights
 
-    sc = spark.sparkContext
-    key = id(sc)
-    bc = _CACHE.get(key)
-    if bc is None:
-        _CACHE.clear()
-        bc = sc.broadcast(get_weights())
-        _CACHE[key] = bc
-    return bc
+    return _cached_broadcast(spark, "crf", get_weights)
+
+
+def mrc_weights_broadcast(spark: SparkSession):
+    """Encoder + MRC span-head weights (core/artifacts.get_mrc_weights)."""
+    from .core.artifacts import get_mrc_weights
+
+    return _cached_broadcast(spark, "mrc", get_mrc_weights)

@@ -114,3 +114,126 @@ def get_weights() -> dict[str, np.ndarray]:
         np.savez(f, **weights)
     os.replace(tmp, path)
     return weights
+
+
+# --------------------------------------------------------------------------
+# MRC span head (M4) — start/end/cls ridge fits over the shared encoder
+# --------------------------------------------------------------------------
+
+MRC_TRAIN_PAGES = 240
+
+
+def _mrc_cache_path() -> str:
+    import os
+
+    d = os.environ.get("SPARKKG_ARTIFACTS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    )
+    return os.path.join(d, "mrc_v1.npz")
+
+
+def fit_span_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) -> None:
+    """Ridge-fit the MRC start/end/cls heads (mrc_albert.py:82-150's
+    three outputs) onto fixture gold spans, mutating ``weights``.
+
+    Same extreme-learning-machine recipe as ``fit_projection``
+    (deterministic, closed-form), with chunked Gram accumulation so the
+    [positions × MRC_FEAT_DIM] design matrix never materializes: the
+    training set is all (page, entity-type) MRC examples of a dedicated
+    synthetic split, positives = gold span starts/ends of the queried
+    type, cls target = span-has-no-answer.
+    """
+    from ..fixtures.generator import generate_corpus
+    from .labels import ENTITY_TYPES
+    from .model import HEAD_DIM, encode_hidden
+    from .mrc import QUESTIONS, featurize_example
+    from .vocab import build_vocab
+
+    corpus = generate_corpus(n_pages=MRC_TRAIN_PAGES, seed=seed)
+    vocab = build_vocab()
+    nt = len(ENTITY_TYPES)
+    d = HEAD_DIM + 1  # + bias column
+    l2 = 1e-2
+    pos_boost = 30.0  # start/end positives are ~1/300 of positions
+    g_s = np.zeros((nt, d, d), dtype=np.float64)
+    g_e = np.zeros((nt, d, d), dtype=np.float64)
+    r_s = np.zeros((nt, d), dtype=np.float64)
+    r_e = np.zeros((nt, d), dtype=np.float64)
+    pooled_rows: dict[int, list] = {i: [] for i in range(nt)}
+    cls_targets: dict[int, list] = {i: [] for i in range(nt)}
+
+    for page in corpus.pages:
+        if page.lang != "zh" or not page.text:
+            continue
+        for ti, typ in enumerate(ENTITY_TYPES):
+            golds = [(s, e) for lab, s, e in page.entities if lab == typ]
+            for f in featurize_example(QUESTIONS[typ], page.text, vocab=vocab):
+                ids = np.asarray([f.input_ids], dtype=np.int64)
+                h = encode_hidden(ids, weights)[0]  # [T, HEAD_DIM]
+                ctx = slice(f.doc_offset, f.doc_offset + f.span_length)
+                x = np.concatenate(
+                    [h[ctx].astype(np.float64), np.ones((f.span_length, 1))],
+                    axis=1,
+                )
+                ys = np.zeros(f.span_length)
+                ye = np.zeros(f.span_length)
+                has_answer = False
+                for s_abs, e_abs in golds:
+                    s_rel, e_rel = s_abs - f.span_start, e_abs - 1 - f.span_start
+                    if s_rel >= 0 and e_rel < f.span_length:
+                        ys[s_rel] = 10.0
+                        ye[e_rel] = 10.0
+                        has_answer = True
+                ws = np.where(ys > 0, pos_boost, 1.0)[:, None]
+                we = np.where(ye > 0, pos_boost, 1.0)[:, None]
+                xs, xe = x * np.sqrt(ws), x * np.sqrt(we)
+                g_s[ti] += xs.T @ xs
+                g_e[ti] += xe.T @ xe
+                r_s[ti] += xs.T @ (ys * ws[:, 0])
+                r_e[ti] += xe.T @ (ye * we[:, 0])
+                pooled = h[: f.input_len].mean(axis=0).astype(np.float64)
+                pooled_rows[ti].append(np.concatenate([pooled, [1.0]]))
+                cls_targets[ti].append(0.0 if has_answer else 10.0)
+
+    eye = l2 * np.eye(d)
+    mrc_ws = np.zeros((nt, HEAD_DIM), dtype=np.float32)
+    mrc_bs = np.zeros(nt, dtype=np.float32)
+    mrc_we = np.zeros((nt, HEAD_DIM), dtype=np.float32)
+    mrc_be = np.zeros(nt, dtype=np.float32)
+    mrc_wc = np.zeros((nt, HEAD_DIM), dtype=np.float32)
+    mrc_bc = np.zeros(nt, dtype=np.float32)
+    for ti in range(nt):
+        sol_s = np.linalg.solve(g_s[ti] + eye, r_s[ti])
+        sol_e = np.linalg.solve(g_e[ti] + eye, r_e[ti])
+        xc = np.asarray(pooled_rows[ti])
+        yc = np.asarray(cls_targets[ti])
+        sol_c = np.linalg.solve(xc.T @ xc + l2 * np.eye(d), xc.T @ yc)
+        mrc_ws[ti], mrc_bs[ti] = sol_s[:-1], sol_s[-1]
+        mrc_we[ti], mrc_be[ti] = sol_e[:-1], sol_e[-1]
+        mrc_wc[ti], mrc_bc[ti] = sol_c[:-1], sol_c[-1]
+
+    weights["mrc_ws"], weights["mrc_bs"] = mrc_ws, mrc_bs
+    weights["mrc_we"], weights["mrc_be"] = mrc_we, mrc_be
+    weights["mrc_wc"], weights["mrc_bc"] = mrc_wc, mrc_bc
+
+
+@lru_cache(maxsize=1)
+def get_mrc_weights() -> dict[str, np.ndarray]:
+    """Encoder weights + fitted MRC span heads, disk-cached like
+    ``get_weights`` (driver-only; executors receive the broadcast)."""
+    import os
+
+    path = _mrc_cache_path()
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+    weights = dict(get_weights())
+    fit_span_head(weights)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **weights)
+    os.replace(tmp, path)
+    return weights

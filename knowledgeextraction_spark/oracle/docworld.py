@@ -178,6 +178,28 @@ def docworld_triples(
     return sorted(triples)
 
 
+def docworld_mrc_answers(sf_dir: str):
+    """q_mrc_answers' numpy twin: best MRC answer per (zh page, type)."""
+    from ..core.artifacts import get_mrc_weights
+    from .mrc import best_answers
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text", "lang"]
+    ).to_pylist()
+    pages = []
+    for row in t:
+        if row["lang"] != "zh":
+            continue
+        text = _translit(row["text"])
+        if not text:
+            continue
+        pages.append((f"https://{row['source']}.test/p{row['doc_id']}", text))
+    return [
+        (url, typ, ans, round(prob, 6), round(sd, 6))
+        for url, typ, ans, prob, sd in best_answers(pages, get_mrc_weights())
+    ]
+
+
 def compute_golden(sf_dir: str):
     """→ dict of pandas DataFrames with the Spark queries' exact schemas."""
     import pandas as pd
@@ -186,6 +208,7 @@ def compute_golden(sf_dir: str):
     mentions = detect_mentions(records)
     linked = docworld_linked(mentions)
     triples = docworld_triples(linked, records)
+    mrc = docworld_mrc_answers(sf_dir)
 
     m_df = pd.DataFrame(
         [(m.url, m.rec_id, m.start_pos, m.end_pos, m.label_type, m.surface) for m in mentions],
@@ -198,7 +221,15 @@ def compute_golden(sf_dir: str):
     t_df = pd.DataFrame(
         triples, columns=["subj_id", "predicate", "obj_id", "url", "rec_id"]
     ).astype({"subj_id": "int64", "obj_id": "int64", "rec_id": "int32"})
-    return {"kg_mentions": m_df, "kg_linked": l_df, "kg_triples": t_df}
+    mrc_df = pd.DataFrame(
+        mrc, columns=["url", "label_type", "answer", "prob", "score_diff"]
+    ).astype({"prob": "float64", "score_diff": "float64"})
+    return {
+        "kg_mentions": m_df,
+        "kg_linked": l_df,
+        "kg_triples": t_df,
+        "mrc_answers": mrc_df,
+    }
 
 
 def write_golden(sf_dir: str, out_dir: str) -> None:

@@ -32,7 +32,14 @@ from .sources import pages as pages_src
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf≤0.1 documents table is one small parquet file → a 1-partition
+    # scan, which serializes every narrow stage (shingling, hashing,
+    # stats) onto one core.  Repartition to the session parallelism —
+    # at production scale the scan has thousands of file-splits and this
+    # exchange disappears (shuffling ~10 MB here stands in for that).
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +246,30 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emit_triples_narrow(
         rm, pages_src.rules_df(spark), pages_src.entities_df(spark), cmap
+    )
+
+
+def q_mrc_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5 end-to-end: MRC span extraction over doc-world pages —
+    per (zh page, entity type), the best answer span from the surrogate
+    start/end/cls heads through the squad-v2 n-best assembly
+    (mrc_albert.py:82-150, mrc_utils.py:350-464).  Oracle: golden
+    parquet from the independent numpy assembly (oracle/mrc.py)."""
+    from .broadcast import mrc_weights_broadcast
+    from .operators.mrc import mrc_answers
+
+    zh = (
+        _extracted_pages(spark, sf_dir)
+        .filter((F.col("lang") == "zh") & (F.length("text") > 0))
+        .select("url", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return mrc_answers(zh, mrc_weights_broadcast(spark)).select(
+        "url",
+        "label_type",
+        "answer",
+        F.round("prob", 6).alias("prob"),
+        F.round("score_diff", 6).alias("score_diff"),
     )
 
 
@@ -970,10 +1001,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sentences": q_kg_sentences,
     "kg_records": q_kg_records,
     "kg_components": q_kg_components,
-    # KG pipeline (model-based, rows-only; exact parity in pytest)
+    # KG pipeline (model-based; golden-parquet numpy oracle + pytest parity)
     "kg_mentions": q_kg_mentions,
     "kg_linked": q_kg_linked,
     "kg_triples": q_kg_triples,
+    "mrc_answers": q_mrc_answers,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1026,6 +1058,7 @@ ORACLES: dict[str, str] = {
     "kg_mentions": sql_golden("kg_mentions"),
     "kg_linked": sql_golden("kg_linked"),
     "kg_triples": sql_golden("kg_triples"),
+    "mrc_answers": sql_golden("mrc_answers"),
     "kg_lang_gate": sql_kg_lang_gate(),
     "kg_sentences": sql_kg_sentences(),
     "kg_records": sql_kg_records(),
