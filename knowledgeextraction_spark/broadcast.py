@@ -37,3 +37,10 @@ def mrc_weights_broadcast(spark: SparkSession):
     from .core.artifacts import get_mrc_weights
 
     return _cached_broadcast(spark, "mrc", get_mrc_weights)
+
+
+def nre_weights_broadcast(spark: SparkSession):
+    """Encoder + NRE relation-head weights (core/artifacts.get_nre_weights)."""
+    from .core.artifacts import get_nre_weights
+
+    return _cached_broadcast(spark, "nre", get_nre_weights)

@@ -237,3 +237,149 @@ def get_mrc_weights() -> dict[str, np.ndarray]:
         np.savez(f, **weights)
     os.replace(tmp, path)
     return weights
+
+
+# --------------------------------------------------------------------------
+# NRE relation head (M7) — ridge softmax over the M6 pair encodings
+# --------------------------------------------------------------------------
+
+NRE_TRAIN_PAGES = 400
+
+
+def _nre_cache_path() -> str:
+    import os
+
+    d = os.environ.get("SPARKKG_ARTIFACTS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    )
+    return os.path.join(d, "nre_v1.npz")
+
+
+def nre_relation_labels() -> list[str]:
+    """Class list: 'NA' + the doc-world rule predicates, sorted.
+    Index = class id (deterministic)."""
+    from ..sources.pages import doc_rules
+
+    return ["NA"] + sorted({r.predicate for r in doc_rules()})
+
+
+def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) -> None:
+    """Ridge-fit the relation classifier (SoftmaxNN surrogate,
+    models.py:31-41) over M6 entity-marked encodings, mutating
+    ``weights`` (adds nre_w [D, C], nre_b [C]).
+
+    Training pairs come from a dedicated synthetic doc-world split:
+    random DOC_WORDS sequences transliterated through word_mapping (the
+    exact text distribution the relation query sees), gold entity spans
+    tracked during construction, candidates = ordered pairs with no
+    sentence delimiter between (the triple stage's gate), label = the
+    doc-world rule predicate when the rule's connective occurs in the
+    between-text, else 'NA'.
+    """
+    from ..operators.triples import DELIMITERS
+    from ..sources.pages import DOC_WORDS, dictionary, doc_rules, word_mapping
+    from .nre import encode_pair, pair_features
+    from .vocab import build_vocab
+
+    vocab = build_vocab()
+    mapping = word_mapping()
+    entities, _ = dictionary()
+    type_of_surface = {e.canonical_name: e.label_type for e in entities}
+
+    from ..core.labels import ENTITY_TYPES
+    from .model import HEAD_DIM
+    from .nre import MARKER_DIM, POOL_DIM
+
+    conn_patterns = sorted({r.pattern for r in doc_rules()})
+    conn_idx = {p: i for i, p in enumerate(conn_patterns)}
+    type_idx = {t: i for i, t in enumerate(ENTITY_TYPES)}
+
+    rng = np.random.default_rng(seed)
+    enc_rows, type_pairs, conn_flags = [], [], []
+    for _ in range(4000):
+        words = rng.choice(DOC_WORDS, size=int(rng.integers(6, 16)))
+        pos = 0
+        spans = []  # (type, start, end)
+        parts = []
+        for w in words:
+            snippet = mapping[w]
+            typ = type_of_surface.get(snippet)
+            if typ is not None:
+                spans.append((typ, pos, pos + len(snippet)))
+            parts.append(snippet)
+            pos += len(snippet)
+        text = "".join(parts)
+        for i, (l1, s1, e1) in enumerate(spans):
+            for l2, s2, e2 in spans[i + 1 :]:
+                if s2 <= s1:
+                    continue
+                between = text[e1:s2]
+                if any(d in between for d in DELIMITERS):
+                    continue
+                enc_rows.append(encode_pair(text, (s1, e1), (s2, e2), 128, vocab))
+                type_pairs.append((type_idx[l1], type_idx[l2]))
+                conn_flags.append([1.0 if p in between else 0.0 for p in conn_patterns])
+
+    # two ridge fits over the pair features:
+    # - type head on the marker blocks (8 classes, head + tail rows)
+    # - per-connective presence detectors on the pooled between blocks
+    n_types = len(ENTITY_TYPES)
+    n_conn = len(conn_patterns)
+    l2reg = 1e-2
+    d_t = HEAD_DIM + 1
+    d_c = POOL_DIM + 1
+    g_t = np.zeros((d_t, d_t))
+    r_t = np.zeros((d_t, n_types))
+    g_c = np.zeros((d_c, d_c))
+    r_c = np.zeros((d_c, n_conn))
+    B = 256
+    for lo in range(0, len(enc_rows), B):
+        chunk = enc_rows[lo : lo + B]
+        x = pair_features(
+            [c[0] for c in chunk],
+            [sum(c[1]) for c in chunk],
+            [c[2] for c in chunk],
+            [c[3] for c in chunk],
+            weights,
+        )
+        n = len(x)
+        ones = np.ones((n, 1))
+        h_feat = np.concatenate([x[:, :HEAD_DIM], ones], axis=1)
+        t_feat = np.concatenate([x[:, HEAD_DIM:MARKER_DIM], ones], axis=1)
+        pool = np.concatenate(
+            [x[:, MARKER_DIM : MARKER_DIM + POOL_DIM], ones], axis=1
+        )
+        tp = type_pairs[lo : lo + B]
+        y_h = np.zeros((n, n_types))
+        y_t = np.zeros((n, n_types))
+        y_h[np.arange(n), [a for a, _ in tp]] = 10.0
+        y_t[np.arange(n), [b for _, b in tp]] = 10.0
+        g_t += h_feat.T @ h_feat + t_feat.T @ t_feat
+        r_t += h_feat.T @ y_h + t_feat.T @ y_t
+        y_c = np.asarray(conn_flags[lo : lo + B]) * 10.0
+        g_c += pool.T @ pool
+        r_c += pool.T @ y_c
+
+    weights["nre_type_w"] = np.linalg.solve(g_t + l2reg * np.eye(d_t), r_t)
+    weights["nre_conn_w"] = np.linalg.solve(g_c + l2reg * np.eye(d_c), r_c)
+
+
+@lru_cache(maxsize=1)
+def get_nre_weights() -> dict[str, np.ndarray]:
+    """Encoder weights + fitted NRE relation head, disk-cached."""
+    import os
+
+    path = _nre_cache_path()
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+    weights = dict(get_weights())
+    fit_relation_head(weights)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **weights)
+    os.replace(tmp, path)
+    return weights

@@ -162,6 +162,46 @@ _FOLD_CACHE: dict[int, _FoldedTables] = {}
 _TILE = 512  # positions per fused tile: h1/h2 tiles stay L2-resident
 
 
+class _Folded64:
+    """float64 twin of _FoldedTables for heads that report continuous
+    scores (MRC span log-probs, NRE relation probabilities).
+
+    float32 BLAS table builds differ across processes (thread count,
+    load-time kernel dispatch), so float32 tables built on the driver
+    vs a Spark worker diverge at ~1e-7 — enough to flip a round-to-6
+    oracle value.  Discrete heads (Viterbi) tolerate that; continuous
+    heads use these float64 tables (noise ~1e-16).  Row V is the zero
+    virtual char for window edge padding."""
+
+    def __init__(self, weights: dict[str, np.ndarray]):
+        emb = weights["emb"].astype(np.float64)
+        v = emb.shape[0]
+        self.v = v
+        self.emb64 = np.zeros((v + 1, EMB_DIM), dtype=np.float64)
+        self.emb64[:v] = emb
+        k_slots = 2 * WINDOW + 1
+        w1 = weights["w1"].astype(np.float64)
+        self.g64 = np.zeros((k_slots, v + 1, HIDDEN), dtype=np.float64)
+        for k in range(k_slots):
+            self.g64[k, :v] = emb @ w1[k * EMB_DIM : (k + 1) * EMB_DIM]
+        self.w2 = weights["w2"].astype(np.float64)
+        self.b1 = weights["b1"].astype(np.float64)
+        self.b2 = weights["b2"].astype(np.float64)
+
+
+_FOLD64_CACHE: dict[int, _Folded64] = {}
+
+
+def folded64(weights: dict[str, np.ndarray]) -> _Folded64:
+    key = id(weights["emb"])
+    f = _FOLD64_CACHE.get(key)
+    if f is None:
+        _FOLD64_CACHE.clear()
+        f = _Folded64(weights)
+        _FOLD64_CACHE[key] = f
+    return f
+
+
 def _folded(weights: dict[str, np.ndarray]) -> _FoldedTables:
     key = id(weights["emb"])
     ft = _FOLD_CACHE.get(key)

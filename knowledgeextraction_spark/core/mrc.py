@@ -36,7 +36,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .labels import ENTITY_TYPES
-from .model import EMB_DIM, HIDDEN, WINDOW, _folded
+from .model import EMB_DIM, HIDDEN, WINDOW, folded64
 from .vocab import CLS_ID, SEP_ID, UNK_ID, build_vocab
 
 MAX_QUERY_LENGTH = 64   # config/mrc_processor.json
@@ -165,24 +165,17 @@ class _MRCFolded:
         self.v = v
         k_slots = 2 * WINDOW + 1
         nt = weights["mrc_ws"].shape[0]
-        self.g64 = np.zeros((k_slots, v + 1, HIDDEN), dtype=np.float64)
         self.qs = np.zeros((k_slots, nt, v + 1), dtype=np.float64)
         self.qe = np.zeros((k_slots, nt, v + 1), dtype=np.float64)
         self.qc = np.zeros((k_slots, nt, v + 1), dtype=np.float64)
         ws = weights["mrc_ws"].astype(np.float64)
         we = weights["mrc_we"].astype(np.float64)
         wc = weights["mrc_wc"].astype(np.float64)
-        w1 = weights["w1"].astype(np.float64)
         for k in range(k_slots):
-            self.g64[k, :v] = emb @ w1[k * EMB_DIM : (k + 1) * EMB_DIM]
             sl = slice(HIDDEN + k * EMB_DIM, HIDDEN + (k + 1) * EMB_DIM)
             self.qs[k, :, :v] = (emb @ ws[:, sl].T).T
             self.qe[k, :, :v] = (emb @ we[:, sl].T).T
             self.qc[k, :, :v] = (emb @ wc[:, sl].T).T
-        # f64 copies of the small dense weights (avoid per-call astype)
-        self.w2 = weights["w2"].astype(np.float64)
-        self.b1 = weights["b1"].astype(np.float64)
-        self.b2 = weights["b2"].astype(np.float64)
 
 
 class _MRCBuffers:
@@ -247,6 +240,7 @@ def span_head_scores(
     """
     b, t = input_ids.shape
     mf = _mrc_folded(weights)
+    f64 = folded64(weights)
     k_slots = 2 * WINDOW + 1
 
     ids_pad = np.full((b, t + 2 * WINDOW), mf.v, dtype=np.int64)
@@ -265,15 +259,15 @@ def span_head_scores(
     _MRC_BUFS.ensure(b * t)
     h1 = _MRC_BUFS.h1[: b * t]
     tmp = _MRC_BUFS.tmp[: b * t]
-    np.take(mf.g64[0], ids_pad[:, 0:t].reshape(-1), axis=0, out=h1)
+    np.take(f64.g64[0], ids_pad[:, 0:t].reshape(-1), axis=0, out=h1)
     for k in range(1, k_slots):
-        np.take(mf.g64[k], ids_pad[:, k : k + t].reshape(-1), axis=0, out=tmp)
+        np.take(f64.g64[k], ids_pad[:, k : k + t].reshape(-1), axis=0, out=tmp)
         h1 += tmp
-    h1 += mf.b1
+    h1 += f64.b1
     np.tanh(h1, out=h1)
     h2 = _MRC_BUFS.h2[: b * t]
-    np.matmul(h1, mf.w2, out=h2)
-    h2 += mf.b2
+    np.matmul(h1, f64.w2, out=h2)
+    h2 += f64.b2
     np.tanh(h2, out=h2)
     h2 = h2.reshape(b, t, HIDDEN)
 

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -71,3 +72,100 @@ def encode_pairs(pairs: DataFrame, max_length: int = 128) -> DataFrame:
             )
 
     return pairs.mapInPandas(run, NRE_SCHEMA)
+
+
+def mention_pairs(records_mentions: DataFrame) -> DataFrame:
+    """Fused detect output → relation-candidate pairs.
+
+    Same in-array pairing as emit_triples_narrow (no self-join): ordered
+    mention pairs in one record with no sentence delimiter between
+    them.  pair_id = h_start·1000 + t_start (record texts are <1000
+    chars, so the key is unique per record and deterministic).
+    → (url, rec_id, pair_id, text, h_start, h_end, t_start, t_end).
+    """
+    import pyspark.sql.functions as F
+
+    from .triples import _DELIM_RE
+
+    def _pair_ok(p):
+        between = F.col("text").substr(
+            p["m1"]["end_pos"] + 1, p["m2"]["start_pos"] - p["m1"]["end_pos"]
+        )
+        return (p["m1"]["start_pos"] < p["m2"]["start_pos"]) & ~between.rlike(
+            _DELIM_RE
+        )
+
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("mentions"),
+                lambda m1: F.transform(
+                    F.col("mentions"),
+                    lambda m2: F.struct(m1.alias("m1"), m2.alias("m2")),
+                ),
+            )
+        ),
+        _pair_ok,
+    )
+    return (
+        records_mentions.withColumn("p", F.explode(pair_expr))
+        .select(
+            "url",
+            "rec_id",
+            (
+                F.col("p.m1.start_pos").cast("long") * 1000
+                + F.col("p.m2.start_pos").cast("long")
+            ).alias("pair_id"),
+            "text",
+            F.col("p.m1.start_pos").alias("h_start"),
+            F.col("p.m1.end_pos").alias("h_end"),
+            F.col("p.m2.start_pos").alias("t_start"),
+            F.col("p.m2.end_pos").alias("t_end"),
+        )
+    )
+
+
+RELATION_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("rec_id", IntegerType(), False),
+        StructField("pair_id", LongType(), False),
+        StructField("predicate", StringType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def classify_relations(encoded: DataFrame, weights_bc) -> DataFrame:
+    """M7: score the M6 encodings with the ridge softmax head
+    (SoftmaxNN surrogate, models.py:31-41) — Arrow-batched, weights via
+    broadcast.  → (url, rec_id, pair_id, predicate, score)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.artifacts import nre_relation_labels
+        from ..core.nre import classify_pairs, pair_features
+
+        weights = weights_bc.value
+        labels = nre_relation_labels()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = pair_features(
+                [list(x) for x in pdf["token_ids"]],
+                [int(sum(m)) for m in pdf["att_mask"]],
+                pdf["pos_head"].tolist(),
+                pdf["pos_tail"].tolist(),
+                weights,
+            )
+            pred, prob = classify_pairs(feats, weights)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].astype(object),
+                    "rec_id": pdf["rec_id"].astype("int32"),
+                    "pair_id": pdf["pair_id"].astype("int64"),
+                    "predicate": pd.Series([labels[i] for i in pred], dtype=object),
+                    "score": pd.Series(prob, dtype="float64"),
+                }
+            )
+
+    return encoded.mapInPandas(run, RELATION_SCHEMA)

@@ -200,6 +200,60 @@ def docworld_mrc_answers(sf_dir: str):
     ]
 
 
+def docworld_relations_scored(
+    records: list[tuple[str, int, str]], mentions: list[Mention]
+):
+    """q_kg_relations_scored's numpy twin: all ordered delimiter-free
+    mention pairs → M6 encodings → hierarchical relation head."""
+    from ..core.artifacts import get_nre_weights, nre_relation_labels
+    from ..core.nre import classify_pairs, encode_pair, pair_features
+    from ..core.vocab import build_vocab
+
+    weights = get_nre_weights()
+    labels = nre_relation_labels()
+    vocab = build_vocab()
+    rec_text = {(u, r): t for u, r, t in records}
+    by_rec: dict[tuple[str, int], list[Mention]] = {}
+    for m in mentions:
+        by_rec.setdefault((m.url, m.rec_id), []).append(m)
+
+    keys, encs = [], []
+    for (url, rec_id), ms in by_rec.items():
+        text = rec_text[(url, rec_id)]
+        for m1 in ms:
+            for m2 in ms:
+                if m1.start_pos >= m2.start_pos:
+                    continue
+                between = text[m1.end_pos : m2.start_pos]
+                if any(d in between for d in DELIMITERS):
+                    continue
+                keys.append((url, rec_id, m1.start_pos * 1000 + m2.start_pos))
+                encs.append(
+                    encode_pair(
+                        text,
+                        (m1.start_pos, m1.end_pos),
+                        (m2.start_pos, m2.end_pos),
+                        128,
+                        vocab,
+                    )
+                )
+    out = []
+    B = 256
+    for lo in range(0, len(encs), B):
+        chunk = encs[lo : lo + B]
+        feats = pair_features(
+            [c[0] for c in chunk],
+            [sum(c[1]) for c in chunk],
+            [c[2] for c in chunk],
+            [c[3] for c in chunk],
+            weights,
+        )
+        pred, prob = classify_pairs(feats, weights)
+        for (url, rec_id, pair_id), pi, pr in zip(keys[lo : lo + B], pred, prob):
+            out.append((url, rec_id, pair_id, labels[pi], round(float(pr), 6)))
+    return sorted(out)
+
+
 def compute_golden(sf_dir: str):
     """→ dict of pandas DataFrames with the Spark queries' exact schemas."""
     import pandas as pd
@@ -209,6 +263,7 @@ def compute_golden(sf_dir: str):
     linked = docworld_linked(mentions)
     triples = docworld_triples(linked, records)
     mrc = docworld_mrc_answers(sf_dir)
+    relations = docworld_relations_scored(records, mentions)
 
     m_df = pd.DataFrame(
         [(m.url, m.rec_id, m.start_pos, m.end_pos, m.label_type, m.surface) for m in mentions],
@@ -224,11 +279,15 @@ def compute_golden(sf_dir: str):
     mrc_df = pd.DataFrame(
         mrc, columns=["url", "label_type", "answer", "prob", "score_diff"]
     ).astype({"prob": "float64", "score_diff": "float64"})
+    rel_df = pd.DataFrame(
+        relations, columns=["url", "rec_id", "pair_id", "predicate", "score"]
+    ).astype({"rec_id": "int32", "pair_id": "int64", "score": "float64"})
     return {
         "kg_mentions": m_df,
         "kg_linked": l_df,
         "kg_triples": t_df,
         "mrc_answers": mrc_df,
+        "kg_relations_scored": rel_df,
     }
 
 

@@ -273,6 +273,29 @@ def q_mrc_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_relations_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6→M7 model path: candidate mention pairs → entity-marked NRE
+    encodings (albert_encoder.py:49-119) → hierarchical relation head
+    (type classifier + per-connective detectors + rel2id mapping — the
+    SoftmaxNN surrogate, models.py:31-41).  The rule-based emitter
+    (kg_triples) remains the production path; this is the model-scored
+    twin.  Oracle: golden parquet from the numpy twin."""
+    from .broadcast import nre_weights_broadcast, weights_broadcast
+    from .operators.detect import detect_records_from_pages
+    from .operators.nre import classify_relations, encode_pairs, mention_pairs
+
+    par = spark.sparkContext.defaultParallelism
+    zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
+    rm = detect_records_from_pages(zh.repartition(par), weights_broadcast(spark))
+    pairs = mention_pairs(rm)
+    encoded = encode_pairs(pairs)
+    return (
+        classify_relations(encoded, nre_weights_broadcast(spark))
+        .withColumn("score", F.round("score", 6))
+        .orderBy("url", "rec_id", "pair_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 # ---------------------------------------------------------------------------
@@ -480,11 +503,17 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+_LSH_BANDS = 8
+_LSH_BITS = 8
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     return (
-        similarity.lsh_topk(emb, q, k=5, dim=64)
+        similarity.lsh_topk(
+            emb, q, k=5, n_bands=_LSH_BANDS, bits_per_band=_LSH_BITS, dim=64
+        )
         .withColumn("cosine", F.round("cosine", 6))
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -492,26 +521,38 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_similarity_lsh() -> str:
-    planes = similarity.make_planes(64, 8, 42)
-    terms = []
-    for b, plane in enumerate(planes):
-        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
+    planes = similarity.make_planes(64, _LSH_BANDS * _LSH_BITS, 42)
+    band_exprs = []
+    for b in range(_LSH_BANDS):
+        terms = []
+        for r in range(_LSH_BITS):
+            plane = planes[b * _LSH_BITS + r]
+            lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+            )
+        band_exprs.append(f"WHEN {b} THEN ({' + '.join(terms)})::BIGINT")
+    bucket_case = "CASE band " + " ".join(band_exprs) + " END"
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
-bucketed AS (
-  SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM emb
+keys AS (
+  SELECT vec_id, band, {bucket_case} AS bucket
+  FROM emb CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c ON q.band = c.band AND q.bucket = c.bucket
+                         AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT query_id, neighbor_id,
          list_dot_product(q.embedding, c.embedding) /
          (sqrt(list_dot_product(q.embedding, q.embedding)) *
           sqrt(list_dot_product(c.embedding, c.embedding))) AS cosine
-  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-  WHERE q.vec_id < 10
+  FROM cand JOIN emb q ON q.vec_id = query_id
+            JOIN emb c ON c.vec_id = neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -1006,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linked": q_kg_linked,
     "kg_triples": q_kg_triples,
     "mrc_answers": q_mrc_answers,
+    "kg_relations_scored": q_kg_relations_scored,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1059,6 +1101,7 @@ ORACLES: dict[str, str] = {
     "kg_linked": sql_golden("kg_linked"),
     "kg_triples": sql_golden("kg_triples"),
     "mrc_answers": sql_golden("mrc_answers"),
+    "kg_relations_scored": sql_golden("kg_relations_scored"),
     "kg_lang_gate": sql_kg_lang_gate(),
     "kg_sentences": sql_kg_sentences(),
     "kg_records": sql_kg_records(),

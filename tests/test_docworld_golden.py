@@ -23,7 +23,7 @@ def live_golden():
     return compute_golden(SF_DIR)
 
 
-@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers"])
+@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers", "kg_relations_scored"])
 def test_committed_golden_is_fresh(live_golden, name):
     committed = pd.read_parquet(f"{GOLDEN_DIR}/{name}.parquet")
     live = live_golden[name]
@@ -34,7 +34,7 @@ def test_committed_golden_is_fresh(live_golden, name):
     assert a.equals(b), f"{name}: committed golden is stale — regenerate with python -m knowledgeextraction_spark.oracle.docworld {SF_DIR}"
 
 
-@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers"])
+@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers", "kg_relations_scored"])
 def test_spark_matches_numpy_golden(spark, live_golden, name):
     import __spark_entry__ as em
 

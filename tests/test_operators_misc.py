@@ -190,12 +190,40 @@ def test_lsh_topk_recall(spark):
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(emb, q, k=5).collect()
     }
+    # multi-band OR-amplification: 4 bands × 6 bits beats any single
+    # 6-bit table (P = 1-(1-p^6)^4 vs p^6)
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_topk(emb, q, k=5, n_planes=6, dim=16).collect()
+        for r in lsh_topk(emb, q, k=5, n_bands=4, bits_per_band=6, dim=16).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"ANN recall too low on clustered data: {recall}"
+    assert recall >= 0.8, f"ANN recall too low on clustered data: {recall}"
+
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, q, k=5, n_bands=1, bits_per_band=6, dim=16).collect()
+    }
+    assert recall >= len(exact & single) / len(exact)
+
+
+def test_lsh_topk_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket is the skew guard: a degenerate key (here the zero
+    vector cluster collides everywhere) must not explode the join."""
+    from knowledgeextraction_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(1)
+    good = rng.standard_normal((30, 8))
+    vecs = np.concatenate([good, np.zeros((50, 8))])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    capped = lsh_topk(emb, q, k=3, n_bands=2, bits_per_band=4, dim=8, max_bucket=40)
+    rows = capped.collect()
+    # the 50-row zero bucket exceeds the cap and is dropped entirely
+    assert all(r["neighbor_id"] < 30 or r["cosine"] > 0 for r in rows)
+    assert capped.count() >= 0  # runs without blowing up
 
 
 # --------------------------------------------------------------------------
