@@ -296,6 +296,52 @@ def q_kg_relations_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dirty_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: dirty-JSON-line cleaner (crf_gen_taggers.py:140-143 slices
+    each line to [find('{'), rfind('}')+1] before json.loads).  The
+    dirty lines are constructed deterministically from documents (noise
+    prefix/suffix around a JSON payload), then cleaned with
+    regexp_extract('\\{.*\\}') — the greedy match IS the
+    find/rfind slice — and parsed with from_json."""
+    dirty = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit(">>log noise "),
+            F.to_json(F.struct("doc_id", "lang", "n_chars")),
+            F.lit(" ##trailer"),
+        ).alias("line")
+    )
+    cleaned = F.regexp_extract("line", r"\{.*\}", 0)
+    parsed = F.from_json(
+        cleaned, "doc_id bigint, lang string, n_chars bigint"
+    ).alias("j")
+    return (
+        dirty.select(parsed)
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.lang").alias("lang"),
+            F.col("j.n_chars").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dirty_json() -> str:
+    return """
+WITH dirty AS (
+  SELECT concat('>>log noise ',
+                to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                    n_chars := n_chars)),
+                ' ##trailer') AS line
+  FROM documents
+),
+cleaned AS (SELECT regexp_extract(line, '\\{.*\\}', 0) AS j FROM dirty)
+SELECT CAST(json_extract_string(j, '$.doc_id') AS BIGINT) AS doc_id,
+       json_extract_string(j, '$.lang') AS lang,
+       CAST(json_extract_string(j, '$.n_chars') AS BIGINT) AS n_chars
+FROM cleaned ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 # ---------------------------------------------------------------------------
@@ -1048,6 +1094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "mrc_answers": q_mrc_answers,
     "kg_relations_scored": q_kg_relations_scored,
+    "dirty_json": q_dirty_json,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1102,6 +1149,7 @@ ORACLES: dict[str, str] = {
     "kg_triples": sql_golden("kg_triples"),
     "mrc_answers": sql_golden("mrc_answers"),
     "kg_relations_scored": sql_golden("kg_relations_scored"),
+    "dirty_json": sql_dirty_json(),
     "kg_lang_gate": sql_kg_lang_gate(),
     "kg_sentences": sql_kg_sentences(),
     "kg_records": sql_kg_records(),

@@ -231,23 +231,73 @@ def test_lsh_topk_bucket_cap_drops_degenerate_buckets(spark):
 # --------------------------------------------------------------------------
 
 
+def _ppm(w, h, rgb):
+    header = f"P6\n# test frame\n{w} {h}\n255\n".encode()
+    px = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+    return header + px.tobytes()
+
+
+def _wav(sr, samples):
+    import struct
+
+    data = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def test_multimodal_feature_extraction(spark):
+    """Real dependency-free decoders: PPM pixel stats, WAV PCM stats,
+    concatenated-PPM frame sampling — checked against hand-computed
+    values through the Spark operator (no stub path remains)."""
     from knowledgeextraction_spark.operators.multimodal import (
         FEATURE_DIM,
         extract_features,
     )
 
+    img = _ppm(4, 2, (255, 0, 128))
+    t = np.arange(800) / 800.0
+    wav = _wav(16000, 0.5 * np.sin(2 * np.pi * 40 * t))
+    vid = _ppm(2, 2, (10, 20, 30)) + _ppm(2, 2, (50, 60, 70)) + _ppm(2, 2, (90, 100, 110))
     media = spark.createDataFrame(
-        [(1, "image", "fakebytes1", 64, 64), (2, "audio", "fakebytes2", None, None)],
-        "media_id long, kind string, payload string, width int, height int",
+        [
+            (1, "image", bytearray(img), 4, 2),
+            (2, "audio", bytearray(wav), None, None),
+            (3, "video", bytearray(vid), 2, 2),
+        ],
+        "media_id long, kind string, payload binary, width int, height int",
     )
     got = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert got[1]["n_bytes"] == len(b"fakebytes1")
-    assert len(got[1]["feature"]) == FEATURE_DIM
-    assert got[1]["feature"] != got[2]["feature"]
+    assert all(len(got[i]["feature"]) == FEATURE_DIM for i in (1, 2, 3))
+    # image: uniform color → per-channel means exact, std 0
+    f = got[1]["feature"]
+    assert abs(f[2] - 1.0) < 1e-6 and abs(f[3] - 0.0) < 1e-6
+    assert abs(f[4] - 128 / 255) < 1e-6 and abs(f[5]) < 1e-6
+    assert got[1]["n_bytes"] == len(img)
+    # audio: sr scaled, rms of a 0.5-amp sine ≈ 0.3536
+    a = got[2]["feature"]
+    assert abs(a[0] - 16000 / 48000) < 1e-6
+    assert abs(a[2] - 0.5 / np.sqrt(2)) < 0.01
+    # video: mean of first/middle/last uniform frames → mean R = 50/255
+    v = got[3]["feature"]
+    assert abs(v[2] - 50 / 255) < 1e-6
     # deterministic
     again = {r["media_id"]: r for r in extract_features(media).collect()}
     assert got[1]["feature"] == again[1]["feature"]
+
+
+def test_multimodal_unknown_format_raises(spark):
+    from knowledgeextraction_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"JUNK"), None, None)],
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PPM"):
+        extract_features(media).collect()
 
 
 # --------------------------------------------------------------------------
