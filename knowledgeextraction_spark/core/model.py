@@ -189,11 +189,15 @@ class _Folded64:
         self.b2 = weights["b2"].astype(np.float64)
 
 
-_FOLD64_CACHE: dict[int, _Folded64] = {}
+_FOLD64_CACHE: dict[bytes, _Folded64] = {}
 
 
 def folded64(weights: dict[str, np.ndarray]) -> _Folded64:
-    key = id(weights["emb"])
+    # content key, not id(): the MRC and NRE weight dicts are separate
+    # npz loads of the SAME encoder — id-keying would rebuild the 46 MB
+    # tables on every head switch within a session
+    emb = weights["emb"]
+    key = emb.shape + (emb[0, :8].tobytes(), emb[-1, :8].tobytes())
     f = _FOLD64_CACHE.get(key)
     if f is None:
         _FOLD64_CACHE.clear()

@@ -88,84 +88,128 @@ def encode_pair(
 # --------------------------------------------------------------------------
 
 
-def pair_features(
-    token_ids,
-    lens,
-    pos_head,
-    pos_tail,
+def record_pair_features(
+    text: str,
+    pairs: list[tuple[int, int, int, int]],
     weights,
+    vocab: dict[str, int] | None = None,
 ):
-    """[B, T] ids + marker positions → [B, 2·(HIDDEN+IN_DIM)+HIDDEN] f64.
+    """One record's candidate pairs → [P, MARKER_DIM+POOL_DIM] float64.
 
     The SoftmaxNN surrogate's sentence encoding (models.py:31-41 scores
-    relations from the AlbertEntityEncoder states): encoder states at
-    the head and tail marker positions, each with its residual window
-    concat (the [h2 | ctx] layout the CRF/MRC heads use), plus the MEAN
-    h2 over the segment between the two opening markers — the stand-in
-    for attention over the connective text, which a window-local
-    encoder cannot reach from the marker positions alone.  All float64
-    on the shared folded tables (model.folded64) so results are
-    bit-stable across process and batch boundaries; positions past each
-    row's real length are the virtual zero char.
+    relations from AlbertEntityEncoder states), restructured for the
+    shape that survives at scale: a record's ~150 candidate pairs share
+    one encode of the record text, instead of each pair re-encoding its
+    own marked copy (the per-pair formulation was the memory-bandwidth
+    wall at 32 workers — overlapping between-segments re-encoded ~150×).
+
+    Per pair (h_start, h_end, t_start, t_end):
+    - marker features: h2 + window concat ([h2 | ctx], the layout every
+      head here uses) at the two opening-marker positions of the M6
+      marked sequence (encode_pair) — only those TWO positions are
+      encoded per pair,
+    - pooled features: mean + max of the SHARED record h2 over the
+      between-text positions [h_end, t_start) — max is the connective
+      presence detector, mean the context summary; empty → zeros.
+
+    All float64 on model.folded64 tables: bit-stable across processes;
+    batch-shape noise is BLAS-kernel level (~1e-15), below the 1e-6
+    reporting precision.
     """
     import numpy as np
 
-    from .model import EMB_DIM, HIDDEN, WINDOW, folded64
+    from .model import HIDDEN, WINDOW, folded64
 
+    if vocab is None:
+        vocab = build_vocab()
     f = folded64(weights)
-    ids = np.asarray(token_ids, dtype=np.int64)
-    b, t = ids.shape
-    lens = np.asarray(lens, dtype=np.int64)
-    ph = np.asarray(pos_head, dtype=np.int64)
-    pt = np.asarray(pos_tail, dtype=np.int64)
     k_slots = 2 * WINDOW + 1
+    p_n = len(pairs)
 
-    ids_pad = np.full((b, t + 2 * WINDOW), f.v, dtype=np.int64)
-    ids_pad[:, WINDOW : WINDOW + t] = ids
-    col = np.arange(t + 2 * WINDOW)[None, :]
-    ids_pad[col >= (lens + WINDOW)[:, None]] = f.v
+    # ---- record encode, once ----
+    rec_ids = np.asarray([vocab.get(ch, UNK_ID) for ch in text], dtype=np.int64)
+    L = len(rec_ids)
+    rec_pad = np.full(L + 2 * WINDOW, f.v, dtype=np.int64)
+    rec_pad[WINDOW : WINDOW + L] = rec_ids
+    _NRE_BUFS.ensure(L + 2 * p_n)
+    h1 = _NRE_BUFS.h1[:L]
+    tmp = _NRE_BUFS.tmp[:L]
+    if L:
+        np.take(f.g64[0], rec_pad[0:L], axis=0, out=h1)
+        for k in range(1, k_slots):
+            np.take(f.g64[k], rec_pad[k : k + L], axis=0, out=tmp)
+            h1 += tmp
+        h1 += f.b1
+        np.tanh(h1, out=h1)
+    h2_rec = _NRE_BUFS.h2[:L]
+    if L:
+        np.matmul(h1, f.w2, out=h2_rec)
+        h2_rec += f.b2
+        np.tanh(h2_rec, out=h2_rec)
 
-    h1 = np.zeros((b * t, HIDDEN), dtype=np.float64)
+    # ---- per-pair marker windows (2 positions each) ----
+    win_ids = np.full((2 * p_n, k_slots), f.v, dtype=np.int64)
+    for i, (hs, he, ts, te) in enumerate(pairs):
+        ids, mask, ph, pt = encode_pair(text, (hs, he), (ts, te), 128, vocab)
+        avai = sum(mask)
+        padded = [f.v] * WINDOW + list(ids[:avai]) + [f.v] * WINDOW
+        win_ids[2 * i] = padded[ph : ph + k_slots]
+        win_ids[2 * i + 1] = padded[pt : pt + k_slots]
+
+    h1_m = np.zeros((2 * p_n, HIDDEN), dtype=np.float64)
     for k in range(k_slots):
-        h1 += f.g64[k][ids_pad[:, k : k + t]].reshape(-1, HIDDEN)
-    h1 += f.b1
-    np.tanh(h1, out=h1)
-    h2 = h1 @ f.w2
-    h2 += f.b2
-    np.tanh(h2, out=h2)
-    h2 = h2.reshape(b, t, HIDDEN)
+        h1_m += f.g64[k][win_ids[:, k]]
+    h1_m += f.b1
+    np.tanh(h1_m, out=h1_m)
+    h2_m = np.tanh(h1_m @ f.w2 + f.b2)
+    ctx_m = np.concatenate(
+        [f.emb64[win_ids[:, k]] for k in range(k_slots)], axis=1
+    )  # [2P, IN_DIM]
+    marker = np.concatenate([h2_m, ctx_m], axis=1)  # [2P, HEAD_DIM]
 
-    rows = np.arange(b)
+    # ---- pooled span features from the shared record encode ----
+    # window [h_start, t_end): both entities + the between-text.  The
+    # connective chars live in the between-text; entity chars draw from
+    # disjoint per-type pools, so including them adds context without
+    # aliasing the connective detectors.
+    mid_mean = np.zeros((p_n, HIDDEN), dtype=np.float64)
+    mid_max = np.zeros((p_n, HIDDEN), dtype=np.float64)
+    for i, (hs, he, ts, te) in enumerate(pairs):
+        if te > hs:
+            seg = h2_rec[hs:te]
+            mid_mean[i] = seg.mean(axis=0)
+            mid_max[i] = seg.max(axis=0)
 
-    def at(p):
-        hp = h2[rows, p]  # [B, HIDDEN]
-        ctx = np.concatenate(
-            [f.emb64[ids_pad[rows, p + k]] for k in range(k_slots)], axis=1
-        )  # [B, IN_DIM]
-        return np.concatenate([hp, ctx], axis=1)
-
-    # mean + max h2 over the inter-marker segment (exclusive).  The max
-    # pool is the presence detector: a position sitting on the
-    # connective fires regardless of segment length, where the mean
-    # dilutes with distance.  Empty segment → zeros.
-    lo = np.minimum(ph, pt)
-    hi = np.maximum(ph, pt)
-    pos = np.arange(t)[None, :]
-    mid_mask = (pos > lo[:, None]) & (pos < hi[:, None])
-    midf = mid_mask.astype(np.float64)
-    cnt = np.maximum(midf.sum(axis=1), 1.0)
-    mid_mean = np.einsum("btd,bt->bd", h2, midf) / cnt[:, None]
-    neg = np.float64(-1e30)
-    masked = np.where(mid_mask[:, :, None], h2, neg)
-    mid_max = masked.max(axis=1)
-    mid_max[mid_max <= neg / 2] = 0.0  # rows with empty segments
-
-    return np.concatenate([at(ph), at(pt), mid_mean, mid_max], axis=1)
+    return np.concatenate(
+        [marker[0::2], marker[1::2], mid_mean, mid_max], axis=1
+    )
 
 
 # pair_features layout (see above): marker blocks then pooled blocks
 MARKER_DIM = 2 * (256 + 672)  # 2 × HEAD_DIM
 POOL_DIM = 2 * 256            # mean + max h2 over the between-segment
+
+
+class _NREBufs:
+    """Reused per-process scratch (model._Buffers pattern — fresh large
+    allocations page-fault through the hypervisor in this VM)."""
+
+    def __init__(self) -> None:
+        self.n = 0
+
+    def ensure(self, n: int) -> None:
+        if n > self.n:
+            self.n = n
+            import numpy as np
+
+            from .model import HIDDEN
+
+            self.h1 = np.empty((n, HIDDEN), dtype=np.float64)
+            self.h2 = np.empty((n, HIDDEN), dtype=np.float64)
+            self.tmp = np.empty((n, HIDDEN), dtype=np.float64)
+
+
+_NRE_BUFS = _NREBufs()
 
 
 def classify_pairs(feats, weights):

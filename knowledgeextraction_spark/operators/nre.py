@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -136,36 +137,50 @@ RELATION_SCHEMA = StructType(
 )
 
 
-def classify_relations(encoded: DataFrame, weights_bc) -> DataFrame:
-    """M7: score the M6 encodings with the ridge softmax head
+def classify_relations(pairs: DataFrame, weights_bc) -> DataFrame:
+    """M7: score candidate pairs with the hierarchical relation head
     (SoftmaxNN surrogate, models.py:31-41) — Arrow-batched, weights via
-    broadcast.  → (url, rec_id, pair_id, predicate, score)."""
+    broadcast.  → (url, rec_id, pair_id, predicate, score).
+
+    Input is the ``mention_pairs`` table (url, rec_id, pair_id, text,
+    h_start, h_end, t_start, t_end).  Pairs are grouped per record
+    inside each Arrow batch so all of a record's pairs share ONE encode
+    of the record text (core/nre.record_pair_features) — the per-pair
+    re-encode was the memory-bandwidth wall at 32 workers.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..core.artifacts import nre_relation_labels
-        from ..core.nre import classify_pairs, pair_features
+        from ..core.nre import classify_pairs, record_pair_features
+        from ..core.vocab import build_vocab
 
         weights = weights_bc.value
         labels = nre_relation_labels()
+        vocab = build_vocab()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = pair_features(
-                [list(x) for x in pdf["token_ids"]],
-                [int(sum(m)) for m in pdf["att_mask"]],
-                pdf["pos_head"].tolist(),
-                pdf["pos_tail"].tolist(),
-                weights,
-            )
-            pred, prob = classify_pairs(feats, weights)
+            out_url, out_rec, out_pid, out_pred, out_score = [], [], [], [], []
+            for (url, rec_id), g in pdf.groupby(["url", "rec_id"], sort=False):
+                text = g["text"].iloc[0]
+                prs = list(
+                    zip(g["h_start"], g["h_end"], g["t_start"], g["t_end"])
+                )
+                feats = record_pair_features(text, prs, weights, vocab)
+                pred, prob = classify_pairs(feats, weights)
+                out_url += [url] * len(g)
+                out_rec += [rec_id] * len(g)
+                out_pid += list(g["pair_id"])
+                out_pred += [labels[i] for i in pred]
+                out_score += list(prob)
             yield pd.DataFrame(
                 {
-                    "url": pdf["url"].astype(object),
-                    "rec_id": pdf["rec_id"].astype("int32"),
-                    "pair_id": pdf["pair_id"].astype("int64"),
-                    "predicate": pd.Series([labels[i] for i in pred], dtype=object),
-                    "score": pd.Series(prob, dtype="float64"),
+                    "url": pd.Series(out_url, dtype=object),
+                    "rec_id": pd.Series(out_rec, dtype="int32"),
+                    "pair_id": pd.Series(out_pid, dtype="int64"),
+                    "predicate": pd.Series(out_pred, dtype=object),
+                    "score": pd.Series(out_score, dtype="float64"),
                 }
             )
 
-    return encoded.mapInPandas(run, RELATION_SCHEMA)
+    return pairs.mapInPandas(run, RELATION_SCHEMA)

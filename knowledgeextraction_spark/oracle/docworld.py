@@ -204,9 +204,11 @@ def docworld_relations_scored(
     records: list[tuple[str, int, str]], mentions: list[Mention]
 ):
     """q_kg_relations_scored's numpy twin: all ordered delimiter-free
-    mention pairs → M6 encodings → hierarchical relation head."""
+    mention pairs per record → record-shared features → hierarchical
+    relation head (same per-record grouping as the Spark operator, so
+    results are bit-comparable)."""
     from ..core.artifacts import get_nre_weights, nre_relation_labels
-    from ..core.nre import classify_pairs, encode_pair, pair_features
+    from ..core.nre import classify_pairs, record_pair_features
     from ..core.vocab import build_vocab
 
     weights = get_nre_weights()
@@ -217,9 +219,10 @@ def docworld_relations_scored(
     for m in mentions:
         by_rec.setdefault((m.url, m.rec_id), []).append(m)
 
-    keys, encs = [], []
+    out = []
     for (url, rec_id), ms in by_rec.items():
         text = rec_text[(url, rec_id)]
+        prs, pids = [], []
         for m1 in ms:
             for m2 in ms:
                 if m1.start_pos >= m2.start_pos:
@@ -227,30 +230,14 @@ def docworld_relations_scored(
                 between = text[m1.end_pos : m2.start_pos]
                 if any(d in between for d in DELIMITERS):
                     continue
-                keys.append((url, rec_id, m1.start_pos * 1000 + m2.start_pos))
-                encs.append(
-                    encode_pair(
-                        text,
-                        (m1.start_pos, m1.end_pos),
-                        (m2.start_pos, m2.end_pos),
-                        128,
-                        vocab,
-                    )
-                )
-    out = []
-    B = 256
-    for lo in range(0, len(encs), B):
-        chunk = encs[lo : lo + B]
-        feats = pair_features(
-            [c[0] for c in chunk],
-            [sum(c[1]) for c in chunk],
-            [c[2] for c in chunk],
-            [c[3] for c in chunk],
-            weights,
-        )
+                prs.append((m1.start_pos, m1.end_pos, m2.start_pos, m2.end_pos))
+                pids.append(m1.start_pos * 1000 + m2.start_pos)
+        if not prs:
+            continue
+        feats = record_pair_features(text, prs, weights, vocab)
         pred, prob = classify_pairs(feats, weights)
-        for (url, rec_id, pair_id), pi, pr in zip(keys[lo : lo + B], pred, prob):
-            out.append((url, rec_id, pair_id, labels[pi], round(float(pr), 6)))
+        for pid, pi, pr in zip(pids, pred, prob):
+            out.append((url, rec_id, pid, labels[pi], round(float(pr), 6)))
     return sorted(out)
 
 

@@ -282,15 +282,14 @@ def q_kg_relations_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin.  Oracle: golden parquet from the numpy twin."""
     from .broadcast import nre_weights_broadcast, weights_broadcast
     from .operators.detect import detect_records_from_pages
-    from .operators.nre import classify_relations, encode_pairs, mention_pairs
+    from .operators.nre import classify_relations, mention_pairs
 
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
     rm = detect_records_from_pages(zh.repartition(par), weights_broadcast(spark))
     pairs = mention_pairs(rm)
-    encoded = encode_pairs(pairs)
     return (
-        classify_relations(encoded, nre_weights_broadcast(spark))
+        classify_relations(pairs, nre_weights_broadcast(spark))
         .withColumn("score", F.round("score", 6))
         .orderBy("url", "rec_id", "pair_id")
     )

@@ -3,7 +3,6 @@ ground truth, determinism, and the Spark/numpy parity of the scored
 query (golden tests cover the sf-dir path)."""
 
 import numpy as np
-import pytest
 
 from knowledgeextraction_spark.core.artifacts import (
     get_nre_weights,
@@ -11,8 +10,7 @@ from knowledgeextraction_spark.core.artifacts import (
 )
 from knowledgeextraction_spark.core.nre import (
     classify_pairs,
-    encode_pair,
-    pair_features,
+    record_pair_features,
 )
 from knowledgeextraction_spark.core.vocab import build_vocab
 from knowledgeextraction_spark.operators.triples import DELIMITERS
@@ -24,14 +22,15 @@ from knowledgeextraction_spark.sources.pages import (
 )
 
 
-def _held_out_pairs(n_sentences=400, seed=12345):
-    vocab = build_vocab()
+def _held_out_sentences(n_sentences=400, seed=12345):
+    """→ [(text, [(hs, he, ts, te)], [gold predicate])] on fresh
+    doc-world-style text."""
     mapping = word_mapping()
     ents, _ = dictionary()
     tos = {e.canonical_name: e.label_type for e in ents}
     rules = {(r.subj_label, r.obj_label): r for r in doc_rules()}
     rng = np.random.default_rng(seed)
-    enc, y = [], []
+    out = []
     for _ in range(n_sentences):
         words = rng.choice(DOC_WORDS, size=int(rng.integers(6, 16)))
         pos, spans, parts = 0, [], []
@@ -43,6 +42,7 @@ def _held_out_pairs(n_sentences=400, seed=12345):
             parts.append(sn)
             pos += len(sn)
         text = "".join(parts)
+        prs, ys = [], []
         for i, (l1, s1, e1) in enumerate(spans):
             for l2, s2, e2 in spans[i + 1 :]:
                 if s2 <= s1:
@@ -51,9 +51,11 @@ def _held_out_pairs(n_sentences=400, seed=12345):
                 if any(d in bet for d in DELIMITERS):
                     continue
                 r = rules.get((l1, l2))
-                y.append(r.predicate if r and r.pattern in bet else "NA")
-                enc.append(encode_pair(text, (s1, e1), (s2, e2), 128, vocab))
-    return enc, y
+                ys.append(r.predicate if r and r.pattern in bet else "NA")
+                prs.append((s1, e1, s2, e2))
+        if prs:
+            out.append((text, prs, ys))
+    return out
 
 
 def test_relation_head_accuracy_vs_rule_truth():
@@ -61,83 +63,60 @@ def test_relation_head_accuracy_vs_rule_truth():
     P/R >= 0.95 overall on held-out doc-world text."""
     w = get_nre_weights()
     labels = nre_relation_labels()
-    enc, y = _held_out_pairs()
-    feats = pair_features(
-        [c[0] for c in enc], [sum(c[1]) for c in enc],
-        [c[2] for c in enc], [c[3] for c in enc], w,
-    )
-    pred, _ = classify_pairs(feats, w)
-    got = [labels[i] for i in pred]
-    acc = np.mean([a == b for a, b in zip(got, y)])
-    pos = [i for i, v in enumerate(y) if v != "NA"]
-    pos_acc = np.mean([got[i] == y[i] for i in pos])
+    vocab = build_vocab()
+    got, want = [], []
+    for text, prs, ys in _held_out_sentences():
+        feats = record_pair_features(text, prs, w, vocab)
+        pred, _ = classify_pairs(feats, w)
+        got += [labels[i] for i in pred]
+        want += ys
+    acc = np.mean([a == b for a, b in zip(got, want)])
+    pos = [i for i, v in enumerate(want) if v != "NA"]
+    pos_acc = np.mean([got[i] == want[i] for i in pos])
     assert acc >= 0.95, acc
     assert pos_acc >= 0.85, pos_acc
 
 
-def test_pair_features_batch_invariant():
+def test_record_pair_features_solo_vs_grouped():
+    """One pair alone vs grouped with its record's other pairs: BLAS
+    kernel noise only (~1e-15, far below the 1e-6 reporting);
+    classifications identical."""
     w = get_nre_weights()
-    enc, _ = _held_out_pairs(n_sentences=10)
-    one = pair_features([enc[0][0]], [sum(enc[0][1])], [enc[0][2]], [enc[0][3]], w)
-    many = pair_features(
-        [c[0] for c in enc], [sum(c[1]) for c in enc],
-        [c[2] for c in enc], [c[3] for c in enc], w,
-    )
-    assert np.array_equal(one[0], many[0])
+    vocab = build_vocab()
+    text, prs, _ = _held_out_sentences(n_sentences=40)[0]
+    solo = record_pair_features(text, prs[:1], w, vocab)
+    grouped = record_pair_features(text, prs, w, vocab)
+    np.testing.assert_allclose(solo[0], grouped[0], rtol=0, atol=1e-9)
+    p1, s1 = classify_pairs(solo, w)
+    p2, s2 = classify_pairs(grouped[:1], w)
+    assert p1[0] == p2[0] and round(s1[0], 6) == round(s2[0], 6)
 
 
 def test_classify_relations_spark_matches_numpy(spark):
     from knowledgeextraction_spark.broadcast import nre_weights_broadcast
-    from knowledgeextraction_spark.operators.nre import classify_relations, encode_pairs
+    from knowledgeextraction_spark.operators.nre import classify_relations
 
     w = get_nre_weights()
     labels = nre_relation_labels()
-    enc, _ = _held_out_pairs(n_sentences=30)
     vocab = build_vocab()
-    # rebuild raw pair rows for the operator path
-    mapping = word_mapping()
+    sents = _held_out_sentences(n_sentences=30)
     rows = []
-    # reuse _held_out_pairs generation for raw text/positions
-    ents, _r = dictionary()
-    tos = {e.canonical_name: e.label_type for e in ents}
-    rng = np.random.default_rng(12345)
-    k = 0
-    for _ in range(30):
-        words = rng.choice(DOC_WORDS, size=int(rng.integers(6, 16)))
-        pos, spans, parts = 0, [], []
-        for wd in words:
-            sn = mapping[wd]
-            t = tos.get(sn)
-            if t:
-                spans.append((t, pos, pos + len(sn)))
-            parts.append(sn)
-            pos += len(sn)
-        text = "".join(parts)
-        for i, (l1, s1, e1) in enumerate(spans):
-            for l2, s2, e2 in spans[i + 1 :]:
-                if s2 <= s1:
-                    continue
-                bet = text[e1:s2]
-                if any(d in bet for d in DELIMITERS):
-                    continue
-                rows.append((f"u{k}", 0, s1 * 1000 + s2, text, s1, e1, s2, e2))
-                k += 1
+    for k, (text, prs, _ys) in enumerate(sents):
+        for (s1, e1, s2, e2) in prs:
+            rows.append((f"u{k}", 0, s1 * 1000 + s2, text, s1, e1, s2, e2))
     df = spark.createDataFrame(
         rows,
         "url string, rec_id int, pair_id long, text string, "
         "h_start int, h_end int, t_start int, t_end int",
     )
     got = {
-        (r.url, r.pair_id): (r.predicate, round(r.score, 9))
-        for r in classify_relations(
-            encode_pairs(df), nre_weights_broadcast(spark)
-        ).collect()
+        (r.url, r.pair_id): (r.predicate, round(r.score, 6))
+        for r in classify_relations(df, nre_weights_broadcast(spark)).collect()
     }
-    # numpy twin
     want = {}
-    for (url, rec, pid, text, s1, e1, s2, e2) in rows:
-        ids, mask, ph, pt = encode_pair(text, (s1, e1), (s2, e2), 128, vocab)
-        feats = pair_features([ids], [sum(mask)], [ph], [pt], get_nre_weights())
+    for k, (text, prs, _ys) in enumerate(sents):
+        feats = record_pair_features(text, prs, w, vocab)
         pred, prob = classify_pairs(feats, w)
-        want[(url, pid)] = (labels[pred[0]], round(float(prob[0]), 9))
+        for (s1, e1, s2, e2), pi, pr in zip(prs, pred, prob):
+            want[(f"u{k}", s1 * 1000 + s2)] = (labels[pi], round(float(pr), 6))
     assert got == want and len(got) == len(rows)
