@@ -195,3 +195,39 @@ class KGPipeline:
             F.count("*").alias("weight")
         )
         edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+
+
+    def write_graph_tables_bucketed(
+        self, result: PipelineResult, n_buckets: int = 16, prefix: str = "kg"
+    ) -> None:
+        """Catalog-registered BUCKETED graph tables (Spark bucketing ≈
+        Iceberg ``bucket(N, entity_id)`` partition transform).
+
+        ``{prefix}_triples`` is bucketed AND sort-ordered by ``subj_id``;
+        ``{prefix}_nodes`` by ``entity_id`` with the same bucket count.
+        A subsequent triples⋈nodes equi-join on the bucket key needs NO
+        exchange on either side (verified in
+        tests/test_bucketed_join.py by asserting the join plan is
+        Exchange-free) — at 10^12 rows this is the difference between a
+        co-located merge join and re-shuffling the whole fact table per
+        query."""
+        spark = self.spark
+        (
+            result.triples.write.mode("overwrite")
+            .bucketBy(n_buckets, "subj_id")
+            .sortBy("subj_id")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_triples")
+        )
+        nodes = (
+            result.triples.select(F.col("subj_id").alias("entity_id"))
+            .unionByName(result.triples.select(F.col("obj_id").alias("entity_id")))
+            .distinct()
+        )
+        (
+            nodes.write.mode("overwrite")
+            .bucketBy(n_buckets, "entity_id")
+            .sortBy("entity_id")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_nodes")
+        )

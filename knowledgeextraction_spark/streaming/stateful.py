@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator: incremental sessionization.
+
+The batch engine expresses S4's running-sum grouping as the
+``sessionize`` query (queries_relational.py); this is its streaming
+twin — the brief's ``applyInPandasWithState`` surface — carrying each
+user's OPEN session in group state across micro-batches and appending
+a row whenever a session CLOSES (a new event arrives more than
+``gap_sec`` after the session's last event).
+
+State is one row per user: (session_id, n_events, first_event,
+last_event, last_ts_micros).  Arrow-batched per group; event-time
+ordering inside a batch is (ts, event_id) — the same total order the
+batch query uses, so a stream fed the same events in any
+micro-batch split emits exactly the batch query's closed sessions
+(asserted in tests/test_streaming_stateful.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "first_event bigint, last_event bigint"
+)
+STATE_SCHEMA = (
+    "session_id bigint, n_events bigint, first_event bigint, "
+    "last_event bigint, last_ts_micros bigint"
+)
+
+
+def _update(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_micros: int,
+):
+    (user_id,) = key
+    if state.exists:
+        session_id, n_events, first_ev, last_ev, last_ts = state.get
+    else:
+        session_id, n_events, first_ev, last_ev, last_ts = 0, 0, None, None, None
+
+    closed = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, event_id in zip(
+            pdf["ts"].astype("int64"), pdf["event_id"].astype("int64")
+        ):
+            ts = int(ts)  # pandas datetime64[ns] → ns; convert to micros
+            ts_micros = ts // 1000
+            event_id = int(event_id)
+            if last_ts is not None and ts_micros - last_ts > gap_micros:
+                closed.append((user_id, session_id, n_events, first_ev, last_ev))
+                session_id += 1
+                n_events, first_ev, last_ev = 0, None, None
+            if n_events == 0:
+                first_ev = event_id
+            n_events += 1
+            last_ev = event_id if last_ev is None else max(last_ev, event_id)
+            last_ts = ts_micros
+
+    state.update((session_id, n_events, first_ev, last_ev, last_ts))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_id", "n_events", "first_event", "last_event"],
+        )
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Streaming events(user_id, ts, event_id) → closed-session rows.
+
+    Append mode: a session row is emitted exactly once, when a later
+    event proves it closed.  The open tail session lives in state until
+    then (at-most one state row per user — bounded state, no watermark
+    needed because the emission trigger is data, not time).
+
+    Contract: a user's events must arrive in event-time order ACROSS
+    micro-batches (within a batch they are sorted here); out-of-order
+    arrival needs an upstream watermark + sort stage, the standard
+    discipline for any gap-based streaming sessionizer.
+    """
+    gap_micros = gap_sec * 1_000_000
+
+    def f(key, pdfs, state):
+        yield from _update(key, pdfs, state, gap_micros)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        f,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

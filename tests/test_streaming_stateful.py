@@ -1,0 +1,131 @@
+"""applyInPandasWithState sessionization == the batch sessionize query
+on the same events, with sessions spanning micro-batch boundaries."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint"
+    )
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    from knowledgeextraction_spark.streaming.stateful import sessionize_stream
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 1: u1 has an open session; u2 closes one inside the batch
+    batch1 = [
+        (1, at(0), 10),
+        (1, at(5), 11),
+        (2, at(0), 20),
+        (2, at(120), 21),  # >30 min gap → closes u2 session 0 in-batch
+    ]
+    # batch 2: u1's new event 2h later closes u1 session 0 (state
+    # crossed the micro-batch boundary); u2 continues session 1
+    batch2 = [
+        (1, at(300), 12),
+        (2, at(125), 22),
+    ]
+    in_dir = str(tmp_path / "in")
+    _events(spark, batch1).coalesce(1).write.mode("append").parquet(in_dir)
+    _events(spark, batch2).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.first_event, r.last_event)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # closed sessions only: u2 session 0 (1 event), u1 session 0 (2 events)
+    assert got == {(2, 0, 1, 20, 20), (1, 0, 2, 10, 11)}, got
+
+
+def test_stateful_closed_sessions_match_batch_query(spark, tmp_path):
+    """Property: stream-closed sessions == the batch sessionize query's
+    rows for every session except each user's last (still open)."""
+    import numpy as np
+
+    from knowledgeextraction_spark.queries_relational import q_sessionize
+    from knowledgeextraction_spark.streaming.stateful import sessionize_stream
+
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        minutes = np.cumsum(rng.integers(1, 90, size=20))
+        for m in minutes:
+            rows.append((u, t0 + dt.timedelta(minutes=int(m)), eid))
+            eid += 1
+    in_dir = str(tmp_path / "in")
+    # three arbitrary micro-batch splits
+    for chunk in (rows[:30], rows[30:70], rows[70:]):
+        _events(spark, chunk).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # batch reference on the SAME parquet dir (q_sessionize reads
+    # events.parquet from a dir; replicate its logic inline instead)
+    ev = spark.read.parquet(in_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    batch = (
+        ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_s").over(w) - 1)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+    last_sess = batch.groupBy("user_id").agg(F.max("session_id").alias("last"))
+    want = {
+        tuple(r)
+        for r in batch.join(last_sess, "user_id")
+        .filter(F.col("session_id") < F.col("last"))
+        .select("user_id", "session_id", "n_events", "first_event", "last_event")
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want and len(got) > 5
