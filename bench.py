@@ -147,6 +147,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
                 df.write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
+            # release the intra-query persists (shingle table, MRC
+            # candidates) so cached copies don't accumulate across
+            # trials and queries
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         total += best
         if name == "kg_triples":

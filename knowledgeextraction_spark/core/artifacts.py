@@ -56,14 +56,32 @@ def _add_semantic_clusters(emb: np.ndarray, seed: int = 43) -> None:
                 emb[vocab[ch]] += CLUSTER_SCALE * mu
 
 
-def _cache_path() -> "os.PathLike[str] | str":
+def _artifact_path(filename: str) -> str:
     import os
 
     d = os.environ.get("SPARKKG_ARTIFACTS_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".artifacts",
     )
-    return os.path.join(d, "weights_v1.npz")
+    return os.path.join(d, filename)
+
+
+def _cached_npz(filename: str, build):
+    """Load ``filename`` from the artifact dir, or build + atomically
+    save it.  ``build`` returns the weights dict."""
+    import os
+
+    path = _artifact_path(filename)
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    weights = build()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **weights)
+    os.replace(tmp, path)
+    return weights
 
 
 @lru_cache(maxsize=1)
@@ -75,13 +93,10 @@ def get_weights() -> dict[str, np.ndarray]:
     executors via ``sc.broadcast`` (crf_albert.py:199-206 warm-start
     analog) — executors never call this.
     """
-    import os
+    return _cached_npz("weights_v1.npz", _build_base_weights)
 
-    path = _cache_path()
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
 
+def _build_base_weights() -> dict[str, np.ndarray]:
     from ..fixtures.generator import generate_corpus
 
     weights = init_encoder_weights(vocab_size(), NUM_LABELS, seed=42)
@@ -107,12 +122,6 @@ def get_weights() -> dict[str, np.ndarray]:
     label_ids = np.asarray(label_rows, dtype=np.int64)
     mask = np.asarray(mask_rows, dtype=np.int64)
     fit_projection(weights, input_ids, label_ids, mask)
-
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **weights)
-    os.replace(tmp, path)
     return weights
 
 
@@ -121,16 +130,6 @@ def get_weights() -> dict[str, np.ndarray]:
 # --------------------------------------------------------------------------
 
 MRC_TRAIN_PAGES = 240
-
-
-def _mrc_cache_path() -> str:
-    import os
-
-    d = os.environ.get("SPARKKG_ARTIFACTS_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
-    )
-    return os.path.join(d, "mrc_v1.npz")
 
 
 def fit_span_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) -> None:
@@ -169,8 +168,12 @@ def fit_span_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) -> Non
         for ti, typ in enumerate(ENTITY_TYPES):
             golds = [(s, e) for lab, s, e in page.entities if lab == typ]
             for f in featurize_example(QUESTIONS[typ], page.text, vocab=vocab):
-                ids = np.asarray([f.input_ids], dtype=np.int64)
-                h = encode_hidden(ids, weights)[0]  # [T, HEAD_DIM]
+                # trim to the real length: inference virtualizes every
+                # position past input_len (span_head_scores ids_pad),
+                # so training on 384-wide pad-id-0 rows would skew the
+                # last WINDOW positions' features vs serving
+                ids = np.asarray([f.input_ids[: f.input_len]], dtype=np.int64)
+                h = encode_hidden(ids, weights)[0]  # [input_len, HEAD_DIM]
                 ctx = slice(f.doc_offset, f.doc_offset + f.span_length)
                 x = np.concatenate(
                     [h[ctx].astype(np.float64), np.ones((f.span_length, 1))],
@@ -222,21 +225,12 @@ def fit_span_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) -> Non
 def get_mrc_weights() -> dict[str, np.ndarray]:
     """Encoder weights + fitted MRC span heads, disk-cached like
     ``get_weights`` (driver-only; executors receive the broadcast)."""
-    import os
+    def build():
+        weights = dict(get_weights())
+        fit_span_head(weights)
+        return weights
 
-    path = _mrc_cache_path()
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
-
-    weights = dict(get_weights())
-    fit_span_head(weights)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **weights)
-    os.replace(tmp, path)
-    return weights
+    return _cached_npz("mrc_v1.npz", build)
 
 
 # --------------------------------------------------------------------------
@@ -244,16 +238,6 @@ def get_mrc_weights() -> dict[str, np.ndarray]:
 # --------------------------------------------------------------------------
 
 NRE_TRAIN_PAGES = 400
-
-
-def _nre_cache_path() -> str:
-    import os
-
-    d = os.environ.get("SPARKKG_ARTIFACTS_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
-    )
-    return os.path.join(d, "nre_v1.npz")
 
 
 def nre_relation_labels() -> list[str]:
@@ -292,7 +276,6 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
     from .nre import MARKER_DIM, POOL_DIM
 
     conn_patterns = sorted({r.pattern for r in doc_rules()})
-    conn_idx = {p: i for i, p in enumerate(conn_patterns)}
     type_idx = {t: i for i, t in enumerate(ENTITY_TYPES)}
 
     rng = np.random.default_rng(seed)
@@ -362,18 +345,9 @@ def fit_relation_head(weights: dict[str, np.ndarray], seed: int = TRAIN_SEED) ->
 @lru_cache(maxsize=1)
 def get_nre_weights() -> dict[str, np.ndarray]:
     """Encoder weights + fitted NRE relation head, disk-cached."""
-    import os
+    def build():
+        weights = dict(get_weights())
+        fit_relation_head(weights)
+        return weights
 
-    path = _nre_cache_path()
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
-
-    weights = dict(get_weights())
-    fit_relation_head(weights)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **weights)
-    os.replace(tmp, path)
-    return weights
+    return _cached_npz("nre_v1.npz", build)

@@ -212,6 +212,23 @@ class _NREBufs:
 _NRE_BUFS = _NREBufs()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _classify_tables():
+    """Constant lookup tables for the hierarchical head (built once per
+    process — classify_pairs runs inside the per-record UDF loop)."""
+    from ..core.artifacts import nre_relation_labels
+    from ..sources.pages import doc_rules
+
+    conn_patterns = sorted({r.pattern for r in doc_rules()})
+    conn_idx = {p: i for i, p in enumerate(conn_patterns)}
+    rule_by_pair = {(r.subj_label, r.obj_label): r for r in doc_rules()}
+    lab_idx = {p: i for i, p in enumerate(nre_relation_labels())}
+    return conn_idx, rule_by_pair, lab_idx
+
+
 def classify_pairs(feats, weights):
     """[B, D] features → (pred_idx [B], prob [B]).
 
@@ -233,17 +250,10 @@ def classify_pairs(feats, weights):
     """
     import numpy as np
 
-    from ..sources.pages import doc_rules
     from .labels import ENTITY_TYPES
     from .model import HEAD_DIM
 
-    conn_patterns = sorted({r.pattern for r in doc_rules()})
-    conn_idx = {p: i for i, p in enumerate(conn_patterns)}
-    rule_by_pair = {(r.subj_label, r.obj_label): r for r in doc_rules()}
-    from ..core.artifacts import nre_relation_labels
-
-    labels = nre_relation_labels()
-    lab_idx = {p: i for i, p in enumerate(labels)}
+    conn_idx, rule_by_pair, lab_idx = _classify_tables()
 
     b = len(feats)
     ones = np.ones((b, 1))

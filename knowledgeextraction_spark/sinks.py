@@ -58,8 +58,16 @@ def write_conll_eval(sentences: DataFrame, path: str) -> None:
 def write_predictions_tsv(predictions: DataFrame, out_dir: str) -> None:
     """predictions(guid string, probabilities array<double>,
     prediction long) → ``test_results.tsv`` + ``submit_results.tsv``
-    (run_crf_albert.py:326-347 formats)."""
-    probs = predictions.select(
+    (run_crf_albert.py:326-347 formats).
+
+    Both files are written as ONE part, guid-ordered: the reference
+    associates test_results row i with example i, so a multi-part
+    unordered write would scramble the correspondence.  Eval artifacts
+    are driver-sized by definition; the distributed form is the
+    ``predictions`` DataFrame itself.
+    """
+    ordered = predictions.orderBy("guid").coalesce(1)
+    probs = ordered.select(
         F.array_join(
             F.transform("probabilities", lambda p: p.cast("string")), "\t"
         ).alias("value")
@@ -67,13 +75,21 @@ def write_predictions_tsv(predictions: DataFrame, out_dir: str) -> None:
     probs.write.mode("overwrite").text(f"{out_dir}/test_results.tsv")
 
     submit = predictions.select(
-        F.concat_ws("\t", "guid", F.col("prediction").cast("string")).alias("value")
+        F.lit(1).alias("k0"),
+        F.col("guid").alias("k1"),
+        F.concat_ws("\t", "guid", F.col("prediction").cast("string")).alias("value"),
     )
     header = predictions.sparkSession.createDataFrame(
-        [("index\tprediction",)], "value string"
+        [(0, "", "index\tprediction")], "k0 int, k1 string, value string"
     )
-    header.unionByName(submit).coalesce(1).write.mode("overwrite").text(
-        f"{out_dir}/submit_results.tsv"
+    # explicit sort keys — union partition order is not a contract
+    (
+        header.unionByName(submit)
+        .orderBy("k0", "k1")
+        .coalesce(1)
+        .select("value")
+        .write.mode("overwrite")
+        .text(f"{out_dir}/submit_results.tsv")
     )
 
 

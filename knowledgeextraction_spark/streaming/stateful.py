@@ -43,7 +43,9 @@ def _update(
     if state.exists:
         session_id, n_events, first_ev, last_ev, last_ts = state.get
     else:
-        session_id, n_events, first_ev, last_ev, last_ts = 0, 0, None, None, None
+        # 1-based, matching the batch q_sessionize (its session_id is a
+        # running sum of new-session markers, so the first session is 1)
+        session_id, n_events, first_ev, last_ev, last_ts = 1, 0, None, None, None
 
     closed = []
     for pdf in pdfs:
@@ -58,9 +60,11 @@ def _update(
                 closed.append((user_id, session_id, n_events, first_ev, last_ev))
                 session_id += 1
                 n_events, first_ev, last_ev = 0, None, None
-            if n_events == 0:
-                first_ev = event_id
             n_events += 1
+            # min/max over event ids, matching the batch query's
+            # F.min/F.max aggregates (NOT arrival order — ids need not
+            # be monotone in ts)
+            first_ev = event_id if first_ev is None else min(first_ev, event_id)
             last_ev = event_id if last_ev is None else max(last_ev, event_id)
             last_ts = ts_micros
 

@@ -51,12 +51,10 @@ def test_write_predictions_tsv(spark, tmp_path):
     import glob
 
     sub = open(glob.glob(f"{out}/submit_results.tsv/part-*")[0]).read().splitlines()
-    assert sub[0] == "index\tprediction"
-    assert set(sub[1:]) == {"guid-0\t1", "guid-1\t0"}
-    probs = []
-    for p in glob.glob(f"{out}/test_results.tsv/part-*"):
-        probs += open(p).read().splitlines()
-    assert set(probs) == {"0.25\t0.75", "0.9\t0.1"}
+    assert sub == ["index\tprediction", "guid-0\t1", "guid-1\t0"]
+    parts = glob.glob(f"{out}/test_results.tsv/part-*")
+    assert len(parts) == 1  # single ordered file: row i == example i
+    assert open(parts[0]).read().splitlines() == ["0.25\t0.75", "0.9\t0.1"]
 
 
 def test_load_glove(spark, tmp_path):

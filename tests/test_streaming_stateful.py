@@ -58,8 +58,9 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         (r.user_id, r.session_id, r.n_events, r.first_event, r.last_event)
         for r in spark.read.parquet(out_dir).collect()
     }
-    # closed sessions only: u2 session 0 (1 event), u1 session 0 (2 events)
-    assert got == {(2, 0, 1, 20, 20), (1, 0, 2, 10, 11)}, got
+    # closed sessions only (1-based ids like the batch query):
+    # u2 session 1 (1 event), u1 session 1 (2 events)
+    assert got == {(2, 1, 1, 20, 20), (1, 1, 2, 10, 11)}, got
 
 
 def test_stateful_closed_sessions_match_batch_query(spark, tmp_path):
@@ -73,12 +74,13 @@ def test_stateful_closed_sessions_match_batch_query(spark, tmp_path):
     rng = np.random.default_rng(3)
     t0 = dt.datetime(2025, 1, 1)
     rows = []
-    eid = 0
     for u in range(5):
         minutes = np.cumsum(rng.integers(1, 90, size=20))
-        for m in minutes:
-            rows.append((u, t0 + dt.timedelta(minutes=int(m)), eid))
-            eid += 1
+        # event ids deliberately NOT monotone in ts: the batch query's
+        # min/max aggregates must match regardless of id order
+        ids = rng.permutation(1000 * u + np.arange(20))
+        for m, eid in zip(minutes, ids):
+            rows.append((u, t0 + dt.timedelta(minutes=int(m)), int(eid)))
     in_dir = str(tmp_path / "in")
     # three arbitrary micro-batch splits
     for chunk in (rows[:30], rows[30:70], rows[70:]):
@@ -94,7 +96,7 @@ def test_stateful_closed_sessions_match_batch_query(spark, tmp_path):
     gap = micros - F.lag(micros).over(w)
     batch = (
         ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
-        .withColumn("session_id", F.sum("new_s").over(w) - 1)
+        .withColumn("session_id", F.sum("new_s").over(w))
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
