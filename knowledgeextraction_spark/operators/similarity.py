@@ -8,13 +8,16 @@
   pairs only; top-k within candidates. Recall < 1 by design; we measure
   it in tests rather than pretend exactness.
 
-Dot products are Catalyst expressions (zip_with/aggregate) — JVM
-codegen, no Python. For very high dims a Pandas-UDF matmul over Arrow
-batches wins; at dim 64 expressions are faster than the Arrow hop.
+Pairwise cosine scoring stays in Catalyst expressions
+(zip_with/aggregate, matching the DuckDB oracle's fold order exactly);
+the LSH KEYING runs as one Arrow-batched numpy GEMM per batch — the
+64-plane × 64-dim higher-order-function chain was interpreter-bound
+(see lsh_band_keys).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,36 +59,44 @@ def cosine_topk(
     )
 
 
-def _band_key(planes: list[list[float]]):
-    """Sign-of-projection key over one band's hyperplanes: bit r = 1 iff
-    ⟨emb, plane_r⟩ > 0.  Planes are driver-side constants inlined as
-    literals — the keying stage is a pure narrow map (no shuffle)."""
-    key = F.lit(0).cast("long")
-    for r, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        key = key + F.when(dot > 0, F.lit(1 << r).cast("long")).otherwise(F.lit(0))
-    return key
-
-
 def lsh_band_keys(
     embeddings: DataFrame, planes: list[list[float]], n_bands: int, bits: int
 ) -> DataFrame:
     """→ input + (band int, bucket long): ``n_bands`` rows per vector,
     band b keyed by planes[b·bits:(b+1)·bits] (exploded post-keying, so
-    the scan itself is not amplified)."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                _band_key(planes[b * bits : (b + 1) * bits]).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    the scan itself is not amplified).
+
+    Keys come from ONE Arrow-batched numpy GEMM per batch ([B, dim] ×
+    [dim, bands·bits]) instead of Catalyst ``aggregate``/``zip_with``
+    chains — higher-order functions evaluate a lambda per element
+    (~bands·bits·dim interpreted calls per vector), which measured 4×
+    slower than the whole rest of the query.  Sign agreement with the
+    DuckDB oracle's ``list_dot_product`` holds to summation-order noise
+    (~1e-13 relative): a flip needs a projection within that band of
+    exactly zero — probability ~1e-13 per dot.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(planes, dtype=np.float64).T  # [dim, n_bands·bits]
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def band_buckets(emb: pd.Series) -> pd.Series:
+        e = np.asarray(emb.tolist(), dtype=np.float64)  # [B, dim]
+        bits_mat = (e @ p) > 0  # [B, n_bands·bits]
+        keys = np.stack(
+            [
+                bits_mat[:, b * bits : (b + 1) * bits] @ weights
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )  # [B, n_bands]
+        return pd.Series(list(keys))
+
+    entries = F.transform(
+        band_buckets("embedding"),
+        lambda k, b: F.struct(b.cast("int").alias("band"), k.alias("bucket")),
     )
     return embeddings.withColumn("bk", F.explode(entries)).select(
         "*", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")

@@ -48,9 +48,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast float32 → double so dot products are bit-comparable with the
-    # DuckDB oracle (both engines then accumulate in float64)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    # DuckDB oracle (both engines then accumulate in float64);
+    # repartition for the same 1-partition-small-file reason as _docs
+    # (the narrow plane-projection stage otherwise runs on one core)
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
 
 
