@@ -59,10 +59,16 @@ def _add_semantic_clusters(emb: np.ndarray, seed: int = 43) -> None:
 def _artifact_path(filename: str) -> str:
     import os
 
-    d = os.environ.get("SPARKKG_ARTIFACTS_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
-    )
+    d = os.environ.get("SPARKKG_ARTIFACTS_DIR")
+    if not d:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        # under spark-submit --py-files the package lives INSIDE a zip;
+        # fall back to the submitter's cwd (ship the npz files alongside
+        # or set SPARKKG_ARTIFACTS_DIR explicitly on a cluster)
+        base = repo_root if os.path.isdir(repo_root) else os.getcwd()
+        d = os.path.join(base, ".artifacts")
     return os.path.join(d, filename)
 
 

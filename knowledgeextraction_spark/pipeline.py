@@ -175,7 +175,15 @@ class KGPipeline:
         Parquet stand-in for Iceberg ``partitionedBy(pred,
         bucket(n_buckets, subj_id))``: directory partition on predicate,
         in-partition files bucketed by repartitioning on a subj_id hash.
+
+        Outputs land under ``base``/graph/ — NOT directly under ``base``
+        — so that ``base`` may be the pipeline's own ``out_dir``: the
+        resumed ``result.triples`` is backed by the ``out_dir/triples``
+        stage snapshot, and writing the partitioned table to the same
+        path would overwrite the files mid-read (found by the
+        spark-submit smoke run).
         """
+        base = os.path.join(base, "graph")
         t = result.triples.withColumn(
             "subj_bucket", F.pmod(F.hash("subj_id"), F.lit(n_buckets))
         )

@@ -129,10 +129,10 @@ def test_write_graph_tables(spark, corpus, tmp_path):
     pipe.write_graph_tables(result, base, n_buckets=4)
 
     # predicate directory partitions exist
-    parts = [d for d in os.listdir(f"{base}/triples") if d.startswith("predicate=")]
+    parts = [d for d in os.listdir(f"{base}/graph/triples") if d.startswith("predicate=")]
     assert len(parts) >= 1
 
-    back = spark.read.parquet(f"{base}/triples")
+    back = spark.read.parquet(f"{base}/graph/triples")
     want = {tuple(r) for r in result.triples.collect()}
     got = {
         (r["subj_id"], r["predicate"], r["obj_id"], r["url"], r["rec_id"])
@@ -140,8 +140,8 @@ def test_write_graph_tables(spark, corpus, tmp_path):
     }
     assert got == want
 
-    nodes = {r["entity_id"] for r in spark.read.parquet(f"{base}/nodes").collect()}
+    nodes = {r["entity_id"] for r in spark.read.parquet(f"{base}/graph/nodes").collect()}
     assert nodes == {t[0] for t in want} | {t[2] for t in want}
 
-    edges = spark.read.parquet(f"{base}/edges")
+    edges = spark.read.parquet(f"{base}/graph/edges")
     assert edges.count() > 0
