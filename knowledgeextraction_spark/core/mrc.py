@@ -285,6 +285,14 @@ def span_head_scores(
         np.take(mf.qe[k], (type_ids[:, None] * (mf.v + 1)) + chars, out=stmp)
         end_logits += stmp
 
+    # Quantize to 9 decimals BEFORE ranking: positions with identical
+    # windows (repeated-char text) have identical true logits, but
+    # batch-shape BLAS noise (~1e-15) would otherwise decide their
+    # top-k order differently in differently-batched runs — an exact
+    # tie broken by position is deterministic everywhere.
+    np.round(start_logits, 9, out=start_logits)
+    np.round(end_logits, 9, out=end_logits)
+
     # context-position mask: valid positions are [doc_offset, input_len-1)
     # (in-place masked assignment — np.where would allocate a copy)
     pos = np.arange(t)[None, :]
@@ -330,10 +338,11 @@ def span_head_scores(
     for k in range(1, k_slots):
         np.take(mf.qc[k], (type_ids[:, None] * (mf.v + 1)) + ids_pad[:, k : k + t], out=stmp)
         cls_ctx += stmp
-    cls = (
+    cls = np.round(
         (pooled_h2 * wc1).sum(-1)
         + (cls_ctx * real_mask).sum(axis=1) / denom
-        + weights["mrc_bc"][type_ids]
+        + weights["mrc_bc"][type_ids],
+        9,
     )
     return start_idx, start_lp, end_idx, end_lp, cls
 

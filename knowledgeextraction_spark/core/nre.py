@@ -261,9 +261,12 @@ def classify_pairs(feats, weights):
     t_feat = np.concatenate([feats[:, HEAD_DIM:MARKER_DIM], ones], axis=1)
     pool = np.concatenate([feats[:, MARKER_DIM : MARKER_DIM + POOL_DIM], ones], axis=1)
 
-    t1 = (h_feat @ weights["nre_type_w"]).argmax(axis=1)
-    t2 = (t_feat @ weights["nre_type_w"]).argmax(axis=1)
-    conn_scores = pool @ weights["nre_conn_w"]  # [B, 6]
+    # quantize to 9 decimals before argmax/thresholding: exact-tie
+    # inputs must classify identically regardless of batch-shape BLAS
+    # noise (~1e-15) — same hardening as the MRC logits
+    t1 = np.round(h_feat @ weights["nre_type_w"], 9).argmax(axis=1)
+    t2 = np.round(t_feat @ weights["nre_type_w"], 9).argmax(axis=1)
+    conn_scores = np.round(pool @ weights["nre_conn_w"], 9)  # [B, 6]
 
     pred = np.zeros(b, dtype=np.int64)
     prob = np.zeros(b, dtype=np.float64)
