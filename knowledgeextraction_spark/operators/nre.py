@@ -80,8 +80,10 @@ def mention_pairs(records_mentions: DataFrame) -> DataFrame:
 
     Same in-array pairing as emit_triples_narrow (no self-join): ordered
     mention pairs in one record with no sentence delimiter between
-    them.  pair_id = h_start·1000 + t_start (record texts are <1000
-    chars, so the key is unique per record and deterministic).
+    them.  pair_id = h_start·1000 + t_start — unique per record because
+    record texts are <1000 chars AND BIO-decoded mentions never overlap
+    (two mentions cannot share a start_pos); callers feeding arbitrary
+    overlapping spans must supply their own ids.
     → (url, rec_id, pair_id, text, h_start, h_end, t_start, t_end).
     """
     import pyspark.sql.functions as F
