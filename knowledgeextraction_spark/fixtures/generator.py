@@ -149,8 +149,40 @@ def _make_rules(rng: np.random.Generator, n_rules: int = 12) -> list[Rule]:
     return rules
 
 
+def _add_digit_aliases(entities: list[Entity]) -> None:
+    """Deterministic post-step (touches NO rng state): give the first
+    two entities digit-bearing aliases, exercising the digit-
+    normalization convention (link.normalize_surface /
+    textops.normalize_digits) through dictionary build, equivalence
+    chains, and linking.  Entity 0 gets TWO raw variants that collide
+    post-normalization (both → canonical+'0'), so the dictionary's
+    min-entity-id dedup is exercised too."""
+    e0, e1 = entities[0], entities[1]
+    e0.aliases = [*e0.aliases, e0.canonical_name + "1", e0.canonical_name + "2"]
+    e1.aliases = [*e1.aliases, e1.canonical_name + "7"]
+
+
 def _components(entities: list[Entity], equivalences: list[tuple[str, str]]) -> dict[str, int]:
-    """Union-find over surfaces; stable id = min entity_id among members."""
+    """Union-find over DIGIT-NORMALIZED surfaces (the convention every
+    engine path applies before joining); stable id = min entity_id
+    among members.  Keys of the returned map are normalized surfaces —
+    matching operators/canonicalize.surface_components output."""
+    from ..core.textops import normalize_digits
+
+    entities = [
+        Entity(
+            e.entity_id,
+            normalize_digits(e.canonical_name),
+            [normalize_digits(a) for a in e.aliases],
+            e.label_type,
+            e.embedding,
+            e.is_head,
+        )
+        for e in entities
+    ]
+    equivalences = [
+        (normalize_digits(a), normalize_digits(b)) for a, b in equivalences
+    ]
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -203,6 +235,7 @@ def generate_corpus(
     avg_sentences: int = 8,
 ) -> Corpus:
     entities, rules, rng = generate_dictionary(seed)
+    _add_digit_aliases(entities)
     rule_by_pair = {(r.subj_label, r.obj_label): r for r in rules}
 
     # Zipf popularity over entities; top-10 are heads (skew targets)
@@ -240,7 +273,13 @@ def generate_corpus(
 
     base_ts = datetime(2025, 1, 1)
     pages: list[Page] = []
-    ent_surfaces = list(surface_to_entity.keys())
+    # digit-bearing aliases live in the DICTIONARY only (linking /
+    # canonicalization fixtures); they are never planted in pages —
+    # the surrogate encoder's type pools contain no digit chars, so a
+    # planted digit surface would not be detected, and excluding them
+    # keeps the rng stream and the seed-7 training corpus bit-identical
+    # to the pre-digit-fixture layout (committed weights stay valid)
+    ent_surfaces = [s for s in surface_to_entity if not any(c.isdigit() for c in s)]
     ent_probs = np.array([probs[surface_to_entity[s]] for s in ent_surfaces])
     ent_probs /= ent_probs.sum()
     ent_label = {s: entities[surface_to_entity[s]].label_type for s in ent_surfaces}

@@ -126,8 +126,21 @@ def surface_components(
     equivalences: (surface_a, surface_b); surface_entities:
     (surface, entity_id) — entity ids provide the stable numeric node
     ids (component id = min entity_id, matching the oracle).
+
+    Edge endpoints are digit-normalized before the dictionary join:
+    ``surface_entities`` comes from link.surface_dictionary, whose
+    surfaces are already normalized — a raw digit-bearing endpoint
+    would silently miss the join and drop the edge (the same
+    divergence class as the narrow triple path; the numpy oracle,
+    oracle/docworld.py:docworld_component_map, normalizes endpoints).
     """
+    from .link import normalize_surface
+
     sid = surface_entities.select("surface", F.col("entity_id").alias("node_id"))
+    equivalences = equivalences.select(
+        normalize_surface(F.col("surface_a")).alias("surface_a"),
+        normalize_surface(F.col("surface_b")).alias("surface_b"),
+    )
     e = (
         equivalences.join(sid.withColumnRenamed("surface", "surface_a"), "surface_a")
         .withColumnRenamed("node_id", "src")

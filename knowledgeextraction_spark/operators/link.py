@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def normalize_surface(col) -> F.Column:
+    """THE surface-normalization convention (chinese_CONLL.py:17-18:
+    every digit → '0'), applied at every surface boundary — dictionary
+    build (below), mention join keys (here and
+    triples.emit_triples_narrow), and equivalence-edge endpoints
+    (canonicalize.surface_components).  Python twin:
+    core.textops.normalize_digits.  One shared function so the three
+    join paths and the numpy oracle can never diverge on the
+    convention (round-2 verdict finding #1)."""
+    return F.regexp_replace(col, r"\d", "0")
+
+
 def surface_dictionary(entities: DataFrame) -> DataFrame:
     """entities(entity_id, canonical_name, aliases, label_type, ...) →
     (surface, entity_id, label_type) — one row per canonical name/alias,
@@ -43,7 +55,7 @@ def surface_dictionary(entities: DataFrame) -> DataFrame:
     # dropped cross-type homonyms — the label_type filter downstream then
     # lost those mentions entirely.)
     return (
-        surfaces.withColumn("surface", F.regexp_replace("surface", r"\d", "0"))
+        surfaces.withColumn("surface", normalize_surface(F.col("surface")))
         .groupBy("surface", "label_type")
         .agg(F.min("entity_id").alias("entity_id"))
     )
@@ -61,7 +73,7 @@ def link_mentions(
     not a null column, for the triple path). Label types must agree.
     """
     dic = surface_dictionary(entities).withColumnRenamed("label_type", "dict_label")
-    m = mentions.withColumn("norm_surface", F.regexp_replace("surface", r"\d", "0"))
+    m = mentions.withColumn("norm_surface", normalize_surface(F.col("surface")))
 
     if not salted:
         joined = m.join(

@@ -136,8 +136,14 @@ def emit_triples_narrow(
     At 10^12 pages this is the plan that survives: the fact table never
     shuffles until it has been reduced to (subj, pred, obj, url, rec)
     tuples.
+
+    Mention surfaces are digit-normalized (link.normalize_surface)
+    before the dictionary joins — the same convention the granular path
+    applies in link_mentions (link.py) and the dictionary itself applies
+    in surface_dictionary, so a digit-bearing alias links identically
+    through either plan.
     """
-    from .link import surface_dictionary
+    from .link import normalize_surface, surface_dictionary
 
     def _pair_ok(p):
         between = F.col("text").substr(
@@ -168,9 +174,9 @@ def emit_triples_narrow(
                 "between"
             ),
             F.col("p.m1.label_type").alias("t1"),
-            F.col("p.m1.surface").alias("surf1"),
+            normalize_surface(F.col("p.m1.surface")).alias("surf1"),
             F.col("p.m2.label_type").alias("t2"),
-            F.col("p.m2.surface").alias("surf2"),
+            normalize_surface(F.col("p.m2.surface")).alias("surf2"),
         )
     )
 

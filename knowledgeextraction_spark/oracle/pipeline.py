@@ -74,10 +74,24 @@ def detect_mentions(records: list[tuple[str, int, str]], weights=None) -> list[M
 def link_mentions(
     mentions: list[Mention], surface_to_entity: dict[str, int]
 ) -> list[tuple[Mention, int]]:
-    """Dictionary linking: mention surface → entity_id (drop unlinked)."""
+    """Dictionary linking: mention surface → entity_id (drop unlinked).
+
+    Both sides are digit-normalized (core.textops.normalize_digits) —
+    the shared convention of operators/link.py (dictionary build at
+    surface_dictionary, mention keys at link_mentions) and the narrow
+    triple path.  On collision (two raw surfaces normalizing to the
+    same key) the smallest entity_id wins, mirroring the Spark
+    dictionary's groupBy(surface).agg(min(entity_id))."""
+    from ..core.textops import normalize_digits
+
+    norm_dict: dict[str, int] = {}
+    for s, eid in surface_to_entity.items():
+        key = normalize_digits(s)
+        if key not in norm_dict or eid < norm_dict[key]:
+            norm_dict[key] = eid
     out = []
     for m in mentions:
-        eid = surface_to_entity.get(m.surface)
+        eid = norm_dict.get(normalize_digits(m.surface))
         if eid is not None:
             out.append((m, eid))
     return out
