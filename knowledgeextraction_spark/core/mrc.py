@@ -198,11 +198,22 @@ class _MRCBuffers:
 _MRC_BUFS = _MRCBuffers()
 
 
-_MRC_FOLD_CACHE: dict[int, _MRCFolded] = {}
+_MRC_FOLD_CACHE: dict[tuple, _MRCFolded] = {}
 
 
 def _mrc_folded(weights: dict[str, np.ndarray]) -> _MRCFolded:
-    key = id(weights.get("mrc_ws"))
+    # Content key (model.folded64's pattern), NOT id(): an id-keyed
+    # cache without a retained reference can silently return stale
+    # tables when the keyed array is freed (e.g. an evicted broadcast
+    # block re-fetched) and a new one lands at a recycled id.
+    ws, emb = weights["mrc_ws"], weights["emb"]
+    key = (
+        ws.shape + emb.shape,
+        ws[0, :8].tobytes(),
+        ws[-1, -8:].tobytes(),
+        emb[0, :8].tobytes(),
+        emb[-1, :8].tobytes(),
+    )
     f = _MRC_FOLD_CACHE.get(key)
     if f is None:
         _MRC_FOLD_CACHE.clear()

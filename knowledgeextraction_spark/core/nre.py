@@ -274,7 +274,10 @@ def classify_pairs(feats, weights):
         a, c = ENTITY_TYPES[t1[i]], ENTITY_TYPES[t2[i]]
         rule = rule_by_pair[(a, c)]
         s = conn_scores[i, conn_idx[rule.pattern]]
-        p_rel = 1.0 / (1.0 + np.exp(5.0 - s))  # detector targets are 0/10
+        # detector targets are 0/10; clip the exponent so a strongly
+        # negative margin can't overflow np.exp (the clipped result is
+        # bit-identical for |5 - s| < 60 and still rounds to 0/1 beyond)
+        p_rel = 1.0 / (1.0 + np.exp(min(max(5.0 - s, -60.0), 60.0)))
         if p_rel >= 0.5:
             pred[i] = lab_idx[rule.predicate]
             prob[i] = p_rel

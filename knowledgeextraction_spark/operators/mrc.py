@@ -36,6 +36,23 @@ CANDIDATE_SCHEMA = (
     "end_orig int, start_lp double, end_lp double, cls double"
 )
 
+# Every char CPython's str.isspace() accepts (verified by exhaustive
+# scan of the BMP+astral planes): the numpy twin trims answer text with
+# str.strip() (core/mrc.py assemble_nbest), while F.trim strips ASCII
+# space only — tabs/newlines/full-width spaces at answer edges would
+# give the two paths different answer text AND different dedup keys.
+_PY_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def py_strip(col) -> F.Column:
+    """Catalyst equivalent of Python ``str.strip()`` (no arguments)."""
+    cls = f"[{_PY_WHITESPACE}]+"
+    return F.regexp_replace(col, f"^{cls}|{cls}$", "")
+
 
 def mrc_examples(pages_text: DataFrame) -> DataFrame:
     """(url, text) → (url, label_type, context): one MRC example per
@@ -114,7 +131,7 @@ def assemble_answers(
     )
     with_text = avg.join(examples, ex_key).withColumn(
         "answer",
-        F.trim(
+        py_strip(
             F.expr("substring(context, start_orig + 1, end_orig - start_orig + 1)")
         ),
     ).withColumn("total", F.col("start_lp") + F.col("end_lp"))

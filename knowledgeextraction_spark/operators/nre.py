@@ -25,6 +25,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# pair_id = h_start·PAIR_ID_BASE + t_start must be collision-free, which
+# needs PAIR_ID_BASE > max record length.  Records come from the packer
+# (cap MAX_SEQ_LENGTH − 2 = 382); the margin below survives any packing
+# cap up to 100k chars, and the assert turns a future cap raise beyond
+# that into an import error instead of silent duplicate pair_ids (which
+# would make q_kg_relations_scored's orderBy nondeterministic).
+PAIR_ID_BASE = 100_000
+
+from ..core.featurize import MAX_SEQ_LENGTH as _MAX_SEQ_LENGTH  # noqa: E402
+
+assert PAIR_ID_BASE > _MAX_SEQ_LENGTH, "pair_id multiplier below record-length bound"
+
 NRE_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -80,8 +92,11 @@ def mention_pairs(records_mentions: DataFrame) -> DataFrame:
 
     Same in-array pairing as emit_triples_narrow (no self-join): ordered
     mention pairs in one record with no sentence delimiter between
-    them.  pair_id = h_start·1000 + t_start — unique per record because
-    record texts are <1000 chars AND BIO-decoded mentions never overlap
+    them.  pair_id = h_start·PAIR_ID_BASE + t_start — unique per record
+    because record texts are far shorter than PAIR_ID_BASE chars (the
+    packer caps them at MAX_SEQ_LENGTH − 2 = 382; the module-level
+    assert below keeps a future packing-limit change from silently
+    violating the precondition) AND BIO-decoded mentions never overlap
     (two mentions cannot share a start_pos); callers feeding arbitrary
     overlapping spans must supply their own ids.
     → (url, rec_id, pair_id, text, h_start, h_end, t_start, t_end).
@@ -116,7 +131,7 @@ def mention_pairs(records_mentions: DataFrame) -> DataFrame:
             "url",
             "rec_id",
             (
-                F.col("p.m1.start_pos").cast("long") * 1000
+                F.col("p.m1.start_pos").cast("long") * PAIR_ID_BASE
                 + F.col("p.m2.start_pos").cast("long")
             ).alias("pair_id"),
             "text",

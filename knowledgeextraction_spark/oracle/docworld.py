@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 
 from ..core.packing import pack_sentences
 from ..core.textops import extract_text, render_html
+from ..operators.nre import PAIR_ID_BASE
 from ..operators.triples import DELIMITERS
 from ..sources import pages as ps
 from .pipeline import Mention, detect_mentions
@@ -231,7 +232,7 @@ def docworld_relations_scored(
                 if any(d in between for d in DELIMITERS):
                     continue
                 prs.append((m1.start_pos, m1.end_pos, m2.start_pos, m2.end_pos))
-                pids.append(m1.start_pos * 1000 + m2.start_pos)
+                pids.append(m1.start_pos * PAIR_ID_BASE + m2.start_pos)
         if not prs:
             continue
         feats = record_pair_features(text, prs, weights, vocab)

@@ -124,3 +124,30 @@ def test_spark_matches_numpy_on_fixture_pages(spark, corpus):
         for url, typ, ans, prob, sd in best_answers(pages, get_mrc_weights())
     }
     assert got == want and len(got) == len(pages) * len(QUESTIONS)
+
+
+def test_py_strip_matches_python_str_strip(spark):
+    """operators/mrc.py trims answer text with py_strip (Catalyst); the
+    numpy twin uses str.strip().  Python strips ALL Unicode whitespace
+    (tab, LS/PS, NBSP, full-width space...), F.trim strips ASCII space
+    only — assert the Catalyst expression reproduces Python exactly on
+    edge-bearing strings."""
+    from pyspark.sql import functions as F
+
+    from knowledgeextraction_spark.operators.mrc import py_strip
+
+    nasty = [
+        " plain ",
+        "\tleading tab",
+        "trailing newline\n",
+        "　full-width　",
+        " nbsp ",
+        " line-sep ",
+        " mix \t ",
+        "inner 　 stays",
+        "",
+        "　\t \n",
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "s string")
+    got = [r["t"] for r in df.select(py_strip(F.col("s")).alias("t")).collect()]
+    assert got == [s.strip() for s in nasty]

@@ -120,3 +120,28 @@ def test_classify_relations_spark_matches_numpy(spark):
         for (s1, e1, s2, e2), pi, pr in zip(prs, pred, prob):
             want[(f"u{k}", s1 * 1000 + s2)] = (labels[pi], round(float(pr), 6))
     assert got == want and len(got) == len(rows)
+
+
+def test_classify_pairs_extreme_margin_no_overflow():
+    """A strongly negative detector margin must not overflow np.exp
+    (executor-log RuntimeWarning noise at scale); the clipped sigmoid
+    is bit-identical in the normal |5-s|<60 range and still saturates
+    to NA/prob 1.0 beyond it."""
+    import warnings
+
+    import numpy as np
+
+    from knowledgeextraction_spark.core.artifacts import get_nre_weights, nre_relation_labels
+    from knowledgeextraction_spark.core.nre import MARKER_DIM, POOL_DIM, classify_pairs
+
+    w = dict(get_nre_weights())
+    # zero feature row + a huge negative bias in the connective head
+    # drives the detector margin to -1e6 for every connective
+    feats = np.zeros((1, MARKER_DIM + POOL_DIM), dtype=np.float64)
+    w["nre_conn_w"] = np.zeros_like(w["nre_conn_w"])
+    w["nre_conn_w"][-1, :] = -1e6  # bias row
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        pred, prob = classify_pairs(feats, w)
+    labels = nre_relation_labels()
+    assert labels[pred[0]] == "NA" and prob[0] == 1.0
