@@ -66,6 +66,61 @@ def _chunks(tokens: DataFrame, tag_col: str) -> DataFrame:
     )
 
 
+def conll_eval_by_type(
+    tokens: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
+) -> DataFrame:
+    """A10: seqeval-style ENTITY-LEVEL metrics per label type.
+
+    The reference computes per-type P/R/F1 with seqeval over aligned
+    BIO tags (test/albertNER/test_albert_ner.py:210-216, alignment at
+    :194-208); the chunk semantics are the same as conlleval's (A9), so
+    this reuses ``_chunks`` and groups the counts by chunk type instead
+    of globally.  → one row per ctype: (ctype, gold_chunks, pred_chunks,
+    correct_chunks, precision, recall, f1), ordered by ctype.
+
+    Scale: the same two window passes as ``conll_eval``; the per-type
+    aggregation output is #types rows, and the full-outer joins on
+    ctype are dimension-sized.
+    """
+    gold_chunks = _chunks(tokens, gold_col)
+    pred_chunks = _chunks(tokens, pred_col)
+    correct = gold_chunks.join(pred_chunks, ["sent_id", "start", "end", "ctype"])
+
+    g = gold_chunks.groupBy("ctype").agg(F.count("*").alias("gold_chunks"))
+    p = pred_chunks.groupBy("ctype").agg(F.count("*").alias("pred_chunks"))
+    c = correct.groupBy("ctype").agg(F.count("*").alias("correct_chunks"))
+
+    return (
+        g.join(p, "ctype", "full_outer")
+        .join(c, "ctype", "full_outer")
+        .select(
+            "ctype",
+            F.coalesce("gold_chunks", F.lit(0)).alias("gold_chunks"),
+            F.coalesce("pred_chunks", F.lit(0)).alias("pred_chunks"),
+            F.coalesce("correct_chunks", F.lit(0)).alias("correct_chunks"),
+        )
+        .select(
+            "ctype",
+            "gold_chunks",
+            "pred_chunks",
+            "correct_chunks",
+            F.round(
+                F.col("correct_chunks") / F.greatest("pred_chunks", F.lit(1)), 6
+            ).alias("precision"),
+            F.round(
+                F.col("correct_chunks") / F.greatest("gold_chunks", F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                2.0
+                * F.col("correct_chunks")
+                / F.greatest(F.col("pred_chunks") + F.col("gold_chunks"), F.lit(1)),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("ctype")
+    )
+
+
 def conll_eval(tokens: DataFrame, gold_col: str = "gold", pred_col: str = "pred") -> DataFrame:
     """tokens(sent_id, pos, gold, pred) → one row of chunk metrics.
 

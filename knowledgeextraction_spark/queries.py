@@ -345,6 +345,60 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+def q_squad_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: SQuAD-style nested-JSON source (mrc_utils.py:466-526).
+
+    Writes a deterministic SQuAD-shaped JSONL corpus derived from the
+    documents table, reads it back with ``spark.read.json`` under an
+    explicit nested schema, and flattens (paragraph, qa) → examples via
+    ``explode(qas)``.  The oracle recomputes the flattened output
+    directly from ``documents``, so any write/read/flatten divergence
+    in the nested path fails the row hash."""
+    import tempfile
+
+    from .sources.squad import read_squad_examples, write_squad_jsonl
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"sparkkg_squad_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_squad_jsonl(spark, sf_dir, path)
+    return read_squad_examples(spark, path).orderBy("qas_id")
+
+
+def sql_squad_read() -> str:
+    return """
+WITH words AS (
+  SELECT doc_id, trim(text) AS context,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+),
+flat AS (
+  SELECT concat('q', doc_id, '_first') AS qas_id,
+         'first word' AS question,
+         w[1] AS answer_text,
+         0::BIGINT AS answer_start,
+         FALSE AS is_impossible,
+         context
+  FROM words
+  UNION ALL
+  SELECT concat('q', doc_id, '_fifth'),
+         'fifth word',
+         CASE WHEN len(w) >= 5 THEN w[5] ELSE '' END,
+         CASE WHEN len(w) >= 5
+              THEN (length(array_to_string(w[1:4], ' ')) + 1)::BIGINT
+              ELSE (-1)::BIGINT END,
+         len(w) < 5,
+         context
+  FROM words
+)
+SELECT qas_id, question, answer_text, answer_start, is_impossible,
+       CASE WHEN is_impossible THEN TRUE
+            ELSE substr(context, answer_start::INT + 1, length(answer_text))
+                 = answer_text END AS answer_ok
+FROM flat ORDER BY qas_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 # ---------------------------------------------------------------------------
@@ -1008,8 +1062,35 @@ def q_conlleval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conll_eval(tokens)
 
 
-def sql_conlleval() -> str:
-    return """
+def q_seqeval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: seqeval-style per-type entity P/R/F1
+    (test/albertNER/test_albert_ner.py:210-216) over the same synthetic
+    BIO tags as conlleval_metrics — the per-type grouping of A9's chunk
+    machinery."""
+    from .operators.conlleval import conll_eval_by_type
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gold = (
+        F.when(F.col("event_type") == "click", "B-ACT")
+        .when(F.col("event_type") == "view", "I-ACT")
+        .when(F.col("event_type") == "purchase", "B-BUY")
+        .otherwise("O")
+    )
+    tokens = ev.select(
+        F.col("user_id").alias("sent_id"),
+        F.row_number().over(w).alias("pos"),
+        gold.alias("gold"),
+    ).withColumn(
+        "pred",
+        F.when((F.col("pos") % 7) == 0, "O").otherwise(F.col("gold")),
+    )
+    return conll_eval_by_type(tokens)
+
+
+# chunk-extraction CTEs shared by the conlleval (global) and seqeval
+# (per-type) oracles: tokens → gold chunks (gc) / pred chunks (pc)
+_CONLL_CHUNK_CTES = """
 WITH tokens AS (
   SELECT user_id AS sent_id,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS pos,
@@ -1057,7 +1138,11 @@ pc AS (
       FROM tp
     ) x
   ) y WHERE ctype IS NOT NULL GROUP BY sent_id, ctype, chunk_id
-),
+)"""
+
+
+def sql_conlleval() -> str:
+    return _CONLL_CHUNK_CTES + """,
 correct AS (
   SELECT count(*) AS correct_chunks
   FROM gc JOIN pc ON gc.sent_id = pc.sent_id AND gc.start = pc.start
@@ -1075,6 +1160,34 @@ SELECT n_tokens,
        round(correct_chunks * 1.0 / greatest(gold_chunks, 1), 6) AS recall,
        round(2.0 * correct_chunks / greatest(pred_chunks + gold_chunks, 1), 6) AS f1
 FROM tok, g, p, correct
+"""
+
+
+def sql_seqeval() -> str:
+    return _CONLL_CHUNK_CTES + """,
+g AS (SELECT ctype, count(*) AS gold_chunks FROM gc GROUP BY ctype),
+p AS (SELECT ctype, count(*) AS pred_chunks FROM pc GROUP BY ctype),
+c AS (
+  SELECT gc.ctype, count(*) AS correct_chunks
+  FROM gc JOIN pc ON gc.sent_id = pc.sent_id AND gc.start = pc.start
+                 AND gc."end" = pc."end" AND gc.ctype = pc.ctype
+  GROUP BY gc.ctype
+)
+SELECT coalesce(g.ctype, p.ctype) AS ctype,
+       coalesce(gold_chunks, 0) AS gold_chunks,
+       coalesce(pred_chunks, 0) AS pred_chunks,
+       coalesce(correct_chunks, 0) AS correct_chunks,
+       round(coalesce(correct_chunks, 0) * 1.0
+             / greatest(coalesce(pred_chunks, 0), 1), 6) AS precision,
+       round(coalesce(correct_chunks, 0) * 1.0
+             / greatest(coalesce(gold_chunks, 0), 1), 6) AS recall,
+       round(2.0 * coalesce(correct_chunks, 0)
+             / greatest(coalesce(pred_chunks, 0) + coalesce(gold_chunks, 0), 1), 6)
+         AS f1
+FROM g
+FULL OUTER JOIN p ON g.ctype = p.ctype
+FULL OUTER JOIN c ON coalesce(g.ctype, p.ctype) = c.ctype
+ORDER BY ctype
 """
 
 
@@ -1126,6 +1239,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "three_way_split": q_three_way_split,
     "doc_spans": q_doc_spans,
     "conlleval_metrics": q_conlleval,
+    "seqeval_metrics": q_seqeval,
+    # nested-JSON source
+    "squad_read": q_squad_read,
     # batch 2: MRC-path + relational coverage (queries_relational.py)
     **QUERIES2,
 }
@@ -1181,5 +1297,7 @@ ORACLES: dict[str, str] = {
     "three_way_split": sql_three_way_split(),
     "doc_spans": sql_doc_spans(),
     "conlleval_metrics": sql_conlleval(),
+    "seqeval_metrics": sql_seqeval(),
+    "squad_read": sql_squad_read(),
     **ORACLES2,
 }
