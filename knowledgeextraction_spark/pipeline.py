@@ -208,34 +208,59 @@ class KGPipeline:
     def write_graph_tables_bucketed(
         self, result: PipelineResult, n_buckets: int = 16, prefix: str = "kg"
     ) -> None:
-        """Catalog-registered BUCKETED graph tables (Spark bucketing ≈
-        Iceberg ``bucket(N, entity_id)`` partition transform).
+        write_bucketed_graph_tables(result.triples, n_buckets, prefix)
 
-        ``{prefix}_triples`` is bucketed AND sort-ordered by ``subj_id``;
-        ``{prefix}_nodes`` by ``entity_id`` with the same bucket count.
-        A subsequent triples⋈nodes equi-join on the bucket key needs NO
-        exchange on either side (verified in
-        tests/test_bucketed_join.py by asserting the join plan is
-        Exchange-free) — at 10^12 rows this is the difference between a
-        co-located merge join and re-shuffling the whole fact table per
-        query."""
-        spark = self.spark
-        (
-            result.triples.write.mode("overwrite")
-            .bucketBy(n_buckets, "subj_id")
-            .sortBy("subj_id")
-            .format("parquet")
-            .saveAsTable(f"{prefix}_triples")
-        )
-        nodes = (
-            result.triples.select(F.col("subj_id").alias("entity_id"))
-            .unionByName(result.triples.select(F.col("obj_id").alias("entity_id")))
-            .distinct()
-        )
-        (
-            nodes.write.mode("overwrite")
-            .bucketBy(n_buckets, "entity_id")
-            .sortBy("entity_id")
-            .format("parquet")
-            .saveAsTable(f"{prefix}_nodes")
-        )
+
+def _drop_managed_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS + remove any ORPHANED location.
+
+    A managed-table directory left by a PREVIOUS session is not in the
+    current in-memory catalog, so ``mode("overwrite")`` cannot drop it
+    and ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS; with a
+    persistent metastore the DROP alone removes the location and the
+    rmtree is a no-op."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse.scheme in ("", "file"):
+        shutil.rmtree(os.path.join(warehouse.path, name.lower()), ignore_errors=True)
+
+
+def write_bucketed_graph_tables(
+    triples: DataFrame, n_buckets: int = 16, prefix: str = "kg"
+) -> None:
+    """Catalog-registered BUCKETED graph tables (Spark bucketing ≈
+    Iceberg ``bucket(N, entity_id)`` partition transform).
+
+    ``{prefix}_triples`` is bucketed AND sort-ordered by ``subj_id``;
+    ``{prefix}_nodes`` by ``entity_id`` with the same bucket count.
+    A subsequent triples⋈nodes equi-join on the bucket key needs NO
+    exchange on either side (verified in
+    tests/test_bucketed_join.py by asserting the join plan is
+    Exchange-free) — at 10^12 rows this is the difference between a
+    co-located merge join and re-shuffling the whole fact table per
+    query."""
+    spark = triples.sparkSession
+    _drop_managed_table(spark, f"{prefix}_triples")
+    _drop_managed_table(spark, f"{prefix}_nodes")
+    (
+        triples.write.mode("overwrite")
+        .bucketBy(n_buckets, "subj_id")
+        .sortBy("subj_id")
+        .format("parquet")
+        .saveAsTable(f"{prefix}_triples")
+    )
+    nodes = (
+        triples.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(triples.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+    )
+    (
+        nodes.write.mode("overwrite")
+        .bucketBy(n_buckets, "entity_id")
+        .sortBy("entity_id")
+        .format("parquet")
+        .saveAsTable(f"{prefix}_nodes")
+    )

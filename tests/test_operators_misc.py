@@ -420,3 +420,39 @@ def test_write_epoch_replay_is_idempotent(spark, tmp_path):
     }
     assert spark.read.parquet(out).count() == 2
     assert rows == {(1, "r", 2, "u", 0), (3, "r", 4, "u", 1)}
+
+
+def test_embedding_near_dup_lsh_recall_and_plan(spark):
+    """The registered dedup_embedding path is LSH-bucketed: on planted
+    exact duplicates (cosine 1 → every hyperplane agrees → every band
+    collides) it must find EXACTLY the brute-force pairs — recall 1 by
+    construction — and its physical plan must contain no cartesian
+    node (the brute-force variant is only the test-scale oracle)."""
+    from knowledgeextraction_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    # plant exact replicas of every 10th vector (the query fixture's shape)
+    rows += [(i + 1000, v.tolist()) for i, v in enumerate(vecs) if i % 10 == 0]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lsh = embedding_near_dups_lsh(
+        emb, threshold=0.9, n_bands=4, bits_per_band=6, dim=16
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in lsh.collect()}
+    want = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    planted = {(i, i + 1000) for i in range(0, 80, 10)}
+    assert planted <= want  # brute force sees every planted duplicate
+    recall = len(got & want) / len(want)
+    assert recall == 1.0, f"exact-dup recall must be 1, got {recall}"
+    assert got <= want  # LSH candidates are verified, never extra
+
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
