@@ -373,6 +373,78 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     return out
 
 
+def update_baseline_md() -> None:
+    """Stamp BASELINE.md's achieved-number rows from the committed
+    bench artifacts — `python bench.py --write-md` (no --scaling) is
+    the ONLY writer of those numbers, so the markdown can never drift
+    from the measured values again (round-2 verdict finding #2: a
+    hand-written 2,541 triples/s vs the driver artifact's 1,640.3).
+
+    Sources: the newest ``BENCH_r*.json`` (driver-recorded headline
+    run) and ``BENCH/BASELINE.md`` (scaling evidence written by
+    ``--scaling --write-md``).
+    """
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not arts:
+        raise SystemExit("no BENCH_r*.json artifact to stamp from")
+    latest = arts[-1]
+    with open(latest) as f:
+        raw = json.load(f)
+    b = raw.get("parsed", raw)
+    tag = os.path.basename(latest).replace("BENCH_", "").replace(".json", "")
+
+    throughput_row = (
+        "| [NORTH] throughput metric | triples/sec — **achieved: "
+        f"{b['triples_per_sec']} triples/s on the sf{b['sf']} kg_triples headline "
+        f"query ({b['n_triples']} triples / {b['queries']['kg_triples']}s, {tag}, "
+        f"min-of-2, incl. dimension prep); headline total {b['value']}s over "
+        f"{len(b['queries'])} queries at {b['cpus']} cores** "
+        "| `python bench.py`; this row is stamped from the newest BENCH_r*.json "
+        "by `python bench.py --write-md` | `BASELINE.json` metric |"
+    )
+
+    scaling_row = None
+    sc_path = os.path.join(root, "BENCH", "BASELINE.md")
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            sc = f.read()
+        m = re.search(r"= (\d+\.\d+)\*\*", sc)
+        hi = re.search(r"\| 8 cores[^|]*\| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \|", sc)
+        if m:
+            detail = (
+                f"; best 8-pinned-core throughput {hi.group(3)} triples/s "
+                f"({hi.group(2)} pages/s)" if hi else ""
+            )
+            scaling_row = (
+                "| [NORTH] scaling efficiency | ≥ 0.8 from N to 4N parallelism — "
+                f"**achieved: {m.group(1)} (2→8 pinned cores, min wall per level"
+                f"{detail})** "
+                "| `python bench.py --scaling --write-md` writes BENCH/BASELINE.md "
+                "(incl. why 8→32 hits a VM memory-bandwidth ceiling measured "
+                "independently of Spark); this row is stamped from it "
+                "| `BASELINE.json` metric + driver instruction |"
+            )
+
+    md_path = os.path.join(root, "BASELINE.md")
+    with open(md_path) as f:
+        lines = f.read().splitlines(keepends=True)
+    out = []
+    for line in lines:
+        if line.startswith("| [NORTH] throughput metric |"):
+            out.append(throughput_row + "\n")
+        elif line.startswith("| [NORTH] scaling efficiency |") and scaling_row:
+            out.append(scaling_row + "\n")
+        else:
+            out.append(line)
+    with open(md_path, "w") as f:
+        f.writelines(out)
+    print(f"BASELINE.md stamped from {os.path.basename(latest)} and BENCH/BASELINE.md")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -384,6 +456,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         replicate = int(os.environ.get("SPARKKG_BENCH_REPLICATE", "96"))
         out = run_scaling(sf_dir, replicate, "--write-md" in sys.argv)
+    elif "--write-md" in sys.argv:
+        update_baseline_md()
+        return
     else:
         out = run_headline(sf_dir, cpus)
     print(json.dumps(out))

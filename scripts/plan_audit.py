@@ -1,34 +1,59 @@
-# PLANS — physical-plan audit of the registered queries
+#!/usr/bin/env python
+"""Regenerate PLANS.md — the physical-plan audit of registered queries.
 
-Counts from `executedPlan().toString()` at sf0.01 (regenerate with
+    python scripts/plan_audit.py [sf_dir]     # default /root/testdata/sf0.01
+
+The table is computed from live ``executedPlan().toString()`` so it can
+never go stale against the code (round-2 verdict item 8); the
+commentary below is maintained here, next to the generator.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# fact-path-bearing queries worth auditing (pure dimension/window toys
+# like label_freq add noise, not signal)
+AUDIT = [
+    "kg_triples",
+    "kg_mentions",
+    "mrc_answers",
+    "kg_relations_scored",
+    "streaming_triples",
+    "graph_bucketed_degree",
+    "squad_read",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "similarity_topk",
+    "similarity_lsh",
+    "multimodal_features",
+    "text_stats",
+    "vocab_min_occur",
+    "sessionize",
+    "conlleval_metrics",
+    "seqeval_metrics",
+]
+
+HEADER = """# PLANS — physical-plan audit of the registered queries
+
+Counts from `executedPlan().toString()` at {sf} (regenerate with
 `python scripts/plan_audit.py`).  `exch` counts every `Exchange`
 occurrence INCLUDING broadcast exchanges and dimension-table prep — the
 fact-path shuffle story per query is in the commentary.
 
 | query | exch | single-partition | cartesian | broadcast | pushed-filter scans |
 |---|---|---|---|---|---|
-| kg_triples | 23 | 0 | 0 | 5 | 1 |
-| kg_mentions | 1 | 0 | 0 | 0 | 1 |
-| mrc_answers | 13 | 0 | 4 | 4 | 4 |
-| kg_relations_scored | 2 | 0 | 0 | 0 | 1 |
-| streaming_triples | 1 | 0 | 0 | 0 | 0 |
-| graph_bucketed_degree | 2 | 0 | 0 | 1 | 1 |
-| squad_read | 1 | 0 | 0 | 0 | 1 |
-| dedup_exact | 4 | 0 | 0 | 0 | 1 |
-| dedup_minhash | 3 | 0 | 0 | 0 | 0 |
-| dedup_lsh_pairs | 8 | 0 | 0 | 1 | 4 |
-| dedup_jaccard | 22 | 0 | 0 | 5 | 6 |
-| dedup_simhash | 3 | 0 | 0 | 0 | 0 |
-| dedup_embedding | 13 | 0 | 0 | 3 | 8 |
-| similarity_topk | 5 | 0 | 1 | 1 | 2 |
-| similarity_lsh | 10 | 0 | 0 | 3 | 4 |
-| multimodal_features | 2 | 0 | 0 | 0 | 0 |
-| text_stats | 2 | 0 | 0 | 0 | 0 |
-| vocab_min_occur | 12 | 1 | 0 | 1 | 0 |
-| sessionize | 2 | 0 | 0 | 0 | 0 |
-| conlleval_metrics | 17 | 4 | 3 | 4 | 0 |
-| seqeval_metrics | 14 | 0 | 0 | 1 | 0 |
+"""
 
+COMMENTARY = """
 Commentary (what the counts mean for the 100 TB plan):
 
 - **kg_triples**: the FACT path (pages → detect → in-array pairing →
@@ -77,3 +102,56 @@ Commentary (what the counts mean for the 100 TB plan):
   pre-execution `executedPlan().toString()` under AQE; codegen
   coverage was spot-checked via `explain("formatted")` on the final
   adaptive plans.
+"""
+
+
+def audit(sf_dir: str) -> str:
+    os.environ.setdefault(
+        "SPARKKG_GOLDEN_SF", os.path.basename(sf_dir.rstrip("/"))
+    )
+    from knowledgeextraction_spark.queries import QUERIES
+    from knowledgeextraction_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name in AUDIT:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        rows.append(
+            (
+                name,
+                len(re.findall(r"Exchange", plan)),
+                len(re.findall(r"Exchange SinglePartition", plan)),
+                len(re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", plan)),
+                len(re.findall(r"BroadcastExchange", plan)),
+                len(re.findall(r"PushedFilters: \[(?!\])", plan)),
+            )
+        )
+        spark.catalog.clearCache()
+    spark.stop()
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = HEADER.format(sf=sf)
+    for r in rows:
+        out += f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} |\n"
+    return out + COMMENTARY
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    md = audit(sf_dir)
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(f"PLANS.md regenerated from {sf_dir}")
+
+
+if __name__ == "__main__":
+    main()
