@@ -40,7 +40,9 @@ HEADLINE = [
     "kg_relations_scored",
     "dedup_minhash",
     "dedup_jaccard",
+    "dedup_embedding",
     "similarity_topk",
+    "multimodal_features",
     "text_stats",
     "conlleval_metrics",
 ]

@@ -157,7 +157,7 @@ class _FoldedTables:
             self.p[k, :v] = weights["emb"] @ p_k
 
 
-_FOLD_CACHE: dict[int, _FoldedTables] = {}
+_FOLD_CACHE: dict[tuple, _FoldedTables] = {}
 
 _TILE = 512  # positions per fused tile: h1/h2 tiles stay L2-resident
 
@@ -189,7 +189,7 @@ class _Folded64:
         self.b2 = weights["b2"].astype(np.float64)
 
 
-_FOLD64_CACHE: dict[bytes, _Folded64] = {}
+_FOLD64_CACHE: dict[tuple, _Folded64] = {}
 
 
 def folded64(weights: dict[str, np.ndarray]) -> _Folded64:
@@ -197,7 +197,15 @@ def folded64(weights: dict[str, np.ndarray]) -> _Folded64:
     # npz loads of the SAME encoder — id-keying would rebuild the 46 MB
     # tables on every head switch within a session
     emb = weights["emb"]
-    key = emb.shape + (emb[0, :8].tobytes(), emb[-1, :8].tobytes())
+    # emb + w1/w2 samples: _Folded64 folds the ENCODER only (no proj),
+    # so the key must cover exactly those arrays
+    key = (
+        emb.shape,
+        emb[0, :8].tobytes(),
+        emb[-1, :8].tobytes(),
+        weights["w1"][0, :8].tobytes(),
+        weights["w2"][0, :8].tobytes(),
+    )
     f = _FOLD64_CACHE.get(key)
     if f is None:
         _FOLD64_CACHE.clear()
@@ -207,7 +215,21 @@ def folded64(weights: dict[str, np.ndarray]) -> _Folded64:
 
 
 def _folded(weights: dict[str, np.ndarray]) -> _FoldedTables:
-    key = id(weights["emb"])
+    # content key over EVERY folded array — id(emb) alone served stale
+    # tables when two weight dicts shared the encoder but differed in
+    # the projection (e.g. a freshly fitted proj_w beside the base
+    # weights: same emb object, different fold), the stale-cache class
+    # the round-2 ADVICE flagged for the MRC fold cache
+    emb, pw = weights["emb"], weights["proj_w"]
+    key = (
+        emb.shape + pw.shape,
+        emb[0, :8].tobytes(),
+        emb[-1, :8].tobytes(),
+        pw[0, :8].tobytes(),
+        pw[-1, -8:].tobytes(),
+        weights["proj_b"][:8].tobytes(),
+        weights["w1"][0, :8].tobytes(),
+    )
     ft = _FOLD_CACHE.get(key)
     if ft is None:
         ft = _FoldedTables(weights)

@@ -377,6 +377,70 @@ FROM nodes n LEFT JOIN deg d USING (entity_id) ORDER BY entity_id
 """
 
 
+def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/W8 analog as a driver query: distributed closed-form training
+    of the CRF projection (operators/fit.py) on weak dictionary
+    supervision derived from the doc world — surfaces found by exact
+    match become gold spans, two narrow distributed passes accumulate
+    the Gram partials, and the W8 election solves one fit per λ and
+    keeps the best dev masked accuracy.  Output: training metadata rows
+    (per-label masked-position counts + elected λ + dev accuracy).
+    No SQL oracle (the fit is not SQL-expressible); the correctness
+    gate is tests/test_fit_distributed.py's single-node parity.  Scale:
+    the shuffled payload is #partitions × [930, 930] float64 partials —
+    independent of corpus size."""
+    import re as _re
+
+    from .core.labels import LABELS
+    from .operators.fit import TRAIN_SCHEMA, fit_select_l2
+
+    entities, _ = pages_src.dictionary()
+    surface_label = sorted(
+        {
+            (s, e.label_type)
+            for e in entities
+            for s in [e.canonical_name, *e.aliases]
+        },
+        key=lambda t: (-len(t[0]), t[0]),  # longest-match-first alternation
+    )
+    pattern = "|".join(_re.escape(s) for s, _ in surface_label)
+    label_of = dict(surface_label)
+
+    records = q_kg_records(spark, sf_dir).select("text")
+
+    def weak_label(batches):
+        import pandas as pd
+
+        rx = _re.compile(pattern)
+        for pdf in batches:
+            ents = [
+                [
+                    {"label": label_of[m.group(0)], "start": m.start(), "end": m.end()}
+                    for m in rx.finditer(t or "")
+                ]
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"text": pdf["text"], "ents": ents})
+
+    train_all = records.mapInPandas(weak_label, TRAIN_SCHEMA).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # deterministic 80/20 train/dev split on a text hash
+    bucket = F.pmod(F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int"), F.lit(5))
+    train = train_all.filter(bucket != 0)
+    dev = train_all.filter(bucket == 0)
+
+    best_l2, best_acc, _pw, _pb, _accs = fit_select_l2(
+        train, dev, weights_broadcast(spark), l2_grid=(1e-3, 1e-2, 1e-1)
+    )
+    from .operators.fit import label_frequencies
+
+    freq = label_frequencies(train)
+    rows = [(f"freq_{lab}", float(freq[i])) for i, lab in enumerate(LABELS)]
+    rows += [("best_l2", float(best_l2)), ("dev_masked_accuracy", round(float(best_acc), 6))]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
+
+
 def q_dirty_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: dirty-JSON-line cleaner (crf_gen_taggers.py:140-143 slices
     each line to [find('{'), rfind('}')+1] before json.loads).  The
@@ -1417,6 +1481,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming ingest + bucketed graph sink (golden-gated round trips)
     "streaming_triples": q_streaming_triples,
     "graph_bucketed_degree": q_graph_bucketed_degree,
+    # distributed training analog (F17/W8) — rows-only driver check; the
+    # real gate is tests/test_fit_distributed.py single-node parity
+    "crf_fit_distributed": q_crf_fit_distributed,
     "dirty_json": q_dirty_json,
     # dedup family
     "dedup_exact": q_dedup_exact,

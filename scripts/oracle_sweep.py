@@ -41,6 +41,11 @@ def main() -> int:
     bad = []
     for name in sorted(qs):
         spdf = qs[name](spark, sf).toPandas()
+        if name not in osql:
+            # non-SQL-expressible ops: the driver records a rows-only
+            # check; their real gate is pytest (see the query docstring)
+            print(f"{name:24s} rows-only rows={len(spdf)}")
+            continue
         ddf = con.execute(osql[name]).fetchdf()
         cols = sorted(spdf.columns)
         ok = cols == sorted(c.lower() for c in ddf.columns)
