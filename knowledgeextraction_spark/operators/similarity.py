@@ -110,6 +110,133 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+# ---------------------------------------------------------------------------
+# IVF — the inverted-file ANN variant (coarse quantizer → posting lists)
+# ---------------------------------------------------------------------------
+
+
+def make_ivf_centroids(dim: int, k: int = 16, seed: int = 41) -> list[list[float]]:
+    """Deterministic data-INDEPENDENT coarse centroids (unit normal,
+    row-normalized).  Used by the oracle-gated query so the DuckDB twin
+    can inline them as literals; production trains them instead
+    (``train_ivf_centroids``) — the partition/probe mechanics are
+    identical either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).tolist()
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, k: int = 16, iters: int = 5, sample: int = 4096, seed: int = 41
+) -> list[list[float]]:
+    """Coarse-quantizer training: seeded k-means on a driver-side sample
+    (the standard IVF recipe — the quantizer trains on a bounded sample
+    regardless of corpus size; assignment stays distributed)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("embedding")
+        .limit(sample)
+        .toPandas()["embedding"]
+        .tolist()
+    )
+    x = np.asarray(rows, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(len(cents)):
+            m = x[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                cents[j] = v / max(np.linalg.norm(v), 1e-12)
+    return cents.tolist()
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], nprobe: int = 1
+) -> DataFrame:
+    """→ input + (centroid int): ``nprobe`` rows per vector, the ids of
+    its top-``nprobe`` centroids by cosine (argmax dot against the
+    row-normalized centroids — the vector's own norm is rank-invariant).
+    One numpy GEMM per Arrow batch, same shape as lsh_band_keys; ties
+    break to the lower centroid id (stable argsort — the DuckDB twin
+    orders by (dot desc, id asc))."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64).T  # [dim, k]
+    n = nprobe
+
+    @pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        e = np.asarray(emb.tolist(), dtype=np.float64)  # [B, dim]
+        dots = e @ c  # [B, k]
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return df.withColumn("centroid", F.explode(probes("embedding")))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 41,
+) -> DataFrame:
+    """ANN top-k via an inverted file: every corpus vector lands in ONE
+    posting list (its nearest centroid), every query probes its
+    ``nprobe`` nearest lists, exact cosine ranks the candidates.
+
+    Scale contract (the IVF counterpart of lsh_topk's): posting lists
+    shuffle once on the centroid key; per-query candidate count is
+    ~nprobe·n/k_centroids, so ``n_centroids`` grows ∝ corpus size
+    (√n is the classic operating point) and recall is recovered by
+    raising ``nprobe``, never by shrinking the centroid count.  Skewed
+    lists (real data clusters unevenly) are the k-means trainer's job;
+    a max-list cap like lsh_topk's ``max_bucket`` drops degenerate
+    lists if training is skipped.  No distinct is needed downstream:
+    corpus vectors appear in exactly one list, so (query, neighbor)
+    candidate pairs are unique by construction.
+    """
+    if centroids is None:
+        centroids = make_ivf_centroids(dim, n_centroids, seed)
+    corpus = ivf_assign(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        centroids,
+        nprobe=1,
+    ).select("neighbor_id", "centroid")
+    probes = ivf_assign(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        centroids,
+        nprobe=nprobe,
+    ).select("query_id", "centroid")
+
+    cand = probes.join(corpus, "centroid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    q_emb = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c_emb = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(q_emb, "query_id")
+        .join(c_emb, "neighbor_id")
+        .withColumn("cosine", _cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

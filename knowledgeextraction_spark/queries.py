@@ -943,6 +943,75 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the inverted-file counterpart of similarity_lsh):
+    corpus vectors land in one posting list each, queries probe their
+    nprobe nearest lists, exact cosine ranks candidates.  Uses the
+    deterministic data-independent centroids so the DuckDB oracle can
+    inline them; production swaps in train_ivf_centroids (k-means on a
+    sample — pytest covers recall with trained centroids)."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        similarity.ivf_topk(
+            emb, q, k=5, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64
+        )
+        .withColumn("cosine", F.round("cosine", 6))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def sql_similarity_ivf() -> str:
+    cents = similarity.make_ivf_centroids(64, _IVF_K)
+    dot_list = ", ".join(
+        "list_dot_product(embedding, ["
+        + ", ".join(f"{x!r}" for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+dots AS (SELECT vec_id, embedding, [{dot_list}] AS d FROM emb),
+corpus AS (
+  SELECT vec_id AS neighbor_id, list_position(d, list_max(d)) - 1 AS centroid
+  FROM dots
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS centroid FROM (
+    SELECT vec_id, generate_subscripts(d, 1) - 1 AS cid, unnest(d) AS dot
+    FROM dots WHERE vec_id < 10
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC)
+      <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM probes JOIN corpus USING (centroid)
+  WHERE query_id != neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.embedding, c.embedding) /
+         (sqrt(list_dot_product(q.embedding, q.embedding)) *
+          sqrt(list_dot_product(c.embedding, c.embedding))) AS cosine
+  FROM cand JOIN emb q ON q.vec_id = query_id
+            JOIN emb c ON c.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis queries
 # ---------------------------------------------------------------------------
@@ -1504,6 +1573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_ivf": q_similarity_ivf,
     # text analysis
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1567,6 +1637,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": sql_multimodal_features(),
     "similarity_topk": sql_similarity_topk(),
     "similarity_lsh": sql_similarity_lsh(),
+    "similarity_ivf": sql_similarity_ivf(),
     "text_stats": sql_text_stats(),
     "lang_id": sql_lang_id(),
     "token_counts": sql_token_counts(),

@@ -34,6 +34,7 @@ AUDIT = [
     "dedup_embedding",
     "similarity_topk",
     "similarity_lsh",
+    "similarity_ivf",
     "multimodal_features",
     "text_stats",
     "vocab_min_occur",
@@ -89,6 +90,10 @@ Commentary (what the counts mean for the 100 TB plan):
   (the exchange count includes the scan repartitions of both sides);
   the wide work is the band-bucket join plus candidate dedup — the
   OR-amplified design pays B× index rows, never B× scans.
+- **similarity_ivf**: assignment is the same narrow GEMM shape; corpus
+  vectors land in ONE posting list each, so candidate pairs are unique
+  by construction and the plan needs no distinct — one join on the
+  centroid key plus the top-k window.
 - **multimodal_features**: payload synthesis and decode are one narrow
   mapInPandas chain — media bytes never shuffle; the exchanges are the
   scan repartition and the output orderBy of the exploded features.

@@ -456,3 +456,42 @@ def test_embedding_near_dup_lsh_recall_and_plan(spark):
 
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_recall_with_trained_centroids(spark):
+    """IVF with a k-means-trained coarse quantizer recovers the exact
+    neighbors on clustered data (each cluster gets a posting list, the
+    query probes its own + nearest lists); nprobe=1 recall is a lower
+    bound for nprobe=3 (probing more lists only adds candidates)."""
+    from knowledgeextraction_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.concatenate(
+        [c + rng.standard_normal((25, 16)) * 0.3 for c in centers]
+    )
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    cents = train_ivf_centroids(emb, k=8, seed=3)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, centroids=cents, nprobe=3, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low on clustered data: {recall}"
+
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, centroids=cents, nprobe=1, dim=16).collect()
+    }
+    assert recall >= len(exact & single) / len(exact)
