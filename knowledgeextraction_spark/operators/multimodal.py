@@ -176,6 +176,62 @@ def _decode_payload(payload: bytes, kind: str) -> list[float]:
     return dec(bytes(payload))
 
 
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of one P6 frame (the dependency-free
+    stand-in for a PIL/opencv resize — swapping libraries touches only
+    this function).  Index map: src = floor(dst · src_dim / dst_dim),
+    the classic nearest-neighbor convention."""
+    w, h, maxval, px, _ = _parse_ppm(payload)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    out = px[ys][:, xs]  # [out_h, out_w, 3]
+    return f"P6\n{out_w} {out_h}\n{maxval}\n".encode() + out.tobytes()
+
+
+def _resize_payload(payload: bytes, kind: str, out_w: int, out_h: int) -> bytes:
+    if kind == "image":
+        return resize_ppm(bytes(payload), out_w, out_h)
+    if kind == "video":
+        # walk the concatenated frames, resize each (frame count kept)
+        payload = bytes(payload)
+        frames = []
+        pos = 0
+        while pos < len(payload) and payload[pos : pos + 2] == b"P6":
+            _w, _h, _mv, _px, end = _parse_ppm(payload[pos:])
+            frames.append(resize_ppm(payload[pos : pos + end], out_w, out_h))
+            pos += end
+        if not frames:
+            raise ValueError("video resize: no PPM frames found")
+        return b"".join(frames)
+    return bytes(payload)  # audio: passthrough
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """media → media with image/video payloads resampled to
+    (out_w, out_h) and metadata updated; audio passes through.  Same
+    shuffle contract as extract_features: mapInPandas on the scan
+    partitions, payload bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _resize_payload(p, k, out_w, out_h)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            visual = pdf["kind"].isin(["image", "video"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": pdf["width"].where(~visual, out_w).astype("Int32"),
+                    "height": pdf["height"].where(~visual, out_h).astype("Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """media(media_id, kind, payload, ...) → (media_id, kind, n_bytes, feature).
 

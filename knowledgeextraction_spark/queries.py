@@ -943,6 +943,86 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+_RESIZE_W, _RESIZE_H = 8, 6
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage in front of the decode: image/video payloads are
+    nearest-neighbor resampled to a fixed target (the thumbnail /
+    model-input-normalization step of a real media pipeline), audio
+    passes through, then the SAME feature extraction runs on the
+    resized bytes.  Constant-pixel fixtures make the oracle closed
+    form: channel stats are resize-invariant, only dims and byte
+    counts change; the non-constant-pixel resize semantics are pinned
+    in tests/test_operators_misc.py against direct numpy indexing."""
+    from .fixtures.media import media_from_documents
+    from .operators.multimodal import extract_features, resize_media
+
+    media = resize_media(
+        media_from_documents(_docs(spark, sf_dir)), _RESIZE_W, _RESIZE_H
+    )
+    feats = extract_features(media)
+    return (
+        feats.select(
+            "media_id", "kind", "n_bytes", F.posexplode("feature").alias("dim", "value")
+        )
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+        .orderBy("media_id", "dim")
+    )
+
+
+def sql_multimodal_resize() -> str:
+    w, h = str(_RESIZE_W), str(_RESIZE_H)
+    r, g, b = "(doc_id % 128)", "((2*doc_id + 1) % 128)", "((5*doc_id + 2) % 128)"
+    sr, n, amp = "(8000 * (1 + doc_id % 4))", "(256 + 2*(doc_id % 8))", "(doc_id % 1001 - 500)"
+    img = [
+        f"{w} / 4096.0",
+        f"{h} / 4096.0",
+        f"{r} / 128.0",
+        f"{g} / 128.0",
+        f"{b} / 128.0",
+        "0.0",
+        f"least({r}, {g}, {b}) / 128.0",
+        f"greatest({r}, {g}, {b}) / 128.0",
+    ]
+    aud = [
+        f"{sr} / 48000.0",
+        f"{n} / 1000000.0",
+        f"abs({amp}) / 32768.0",
+        f"abs({amp}) / 32768.0",
+        f"abs({amp}) / 32768.0",
+        "0.0",
+        "0.5",
+        "0.125",
+    ]
+    img_case = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(img))
+    aud_case = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(aud))
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+         CASE doc_id % 3
+           WHEN 0 THEN 11 + {w} * {h} * 3
+           WHEN 1 THEN 44 + 2 * {n}
+           ELSE 3 * (11 + {w} * {h} * 3) END AS n_bytes,
+         doc_id
+  FROM documents
+)
+SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, dim,
+       round(CASE WHEN kind = 'audio' THEN (CASE dim {aud_case} END)
+                  ELSE (CASE dim {img_case} END) END, 6) AS value
+FROM media CROSS JOIN (SELECT unnest(range(8)) AS dim) d
+ORDER BY media_id, dim
+"""
+
+
 _IVF_K = 16
 _IVF_NPROBE = 4
 
@@ -1568,8 +1648,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
-    # multimodal decode
+    # multimodal decode + resize
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     # similarity search
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
@@ -1635,6 +1716,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_embedding": sql_dedup_embedding(),
     "multimodal_features": sql_multimodal_features(),
+    "multimodal_resize": sql_multimodal_resize(),
     "similarity_topk": sql_similarity_topk(),
     "similarity_lsh": sql_similarity_lsh(),
     "similarity_ivf": sql_similarity_ivf(),

@@ -495,3 +495,64 @@ def test_ivf_topk_recall_with_trained_centroids(spark):
         for r in ivf_topk(emb, q, k=5, centroids=cents, nprobe=1, dim=16).collect()
     }
     assert recall >= len(exact & single) / len(exact)
+
+
+def test_resize_ppm_nearest_neighbor_semantics():
+    """Non-constant pixels: the resized frame equals direct numpy
+    nearest-neighbor indexing (src = floor(dst·src/dst)), and the
+    header round-trips through the parser with the new dims."""
+    from knowledgeextraction_spark.operators.multimodal import _parse_ppm, resize_ppm
+
+    rng = np.random.default_rng(5)
+    w, h = 7, 5
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+    out = resize_ppm(payload, 3, 2)
+    ow, oh, maxval, opx, _ = _parse_ppm(out)
+    assert (ow, oh, maxval) == (3, 2, 255)
+    ys = (np.arange(2) * h) // 2
+    xs = (np.arange(3) * w) // 3
+    assert np.array_equal(opx, px[ys][:, xs])
+
+    # upscale repeats source pixels (still nearest neighbor)
+    up = resize_ppm(payload, 14, 5)
+    uw, uh, _, upx, _ = _parse_ppm(up)
+    assert (uw, uh) == (14, 5)
+    assert np.array_equal(upx[:, ::2], px[:, (np.arange(14)[::2] * w) // 14])
+
+
+def test_resize_media_video_and_audio_passthrough(spark):
+    """Video payloads resize per frame (count preserved); audio bytes
+    pass through untouched; metadata updates only for visual kinds."""
+    from knowledgeextraction_spark.fixtures.media import make_payload
+    from knowledgeextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_ppm,
+        resize_media,
+    )
+
+    rows = []
+    for doc_id in (2, 7, 9):  # video, audio, image kinds
+        kind, payload, w, h = make_payload(doc_id)
+        rows.append((doc_id, kind, payload, w, h))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_media(media, 4, 3).collect()}
+
+    vid = out[2]
+    assert (vid["width"], vid["height"]) == (4, 3)
+    payload, pos, n_frames = bytes(vid["payload"]), 0, 0
+    while pos < len(payload):
+        fw, fh, _mv, _px, end = _parse_ppm(payload[pos:])
+        assert (fw, fh) == (4, 3)
+        pos += end
+        n_frames += 1
+    assert n_frames == 3
+
+    audio_in = next(r for r in rows if r[1] == "audio")
+    assert bytes(out[7]["payload"]) == audio_in[2]
+    assert out[7]["width"] is None and out[7]["height"] is None
+
+    img = out[9]
+    iw, ih, _mv, _px, _ = _parse_ppm(bytes(img["payload"]))
+    assert (iw, ih) == (4, 3) == (img["width"], img["height"])
