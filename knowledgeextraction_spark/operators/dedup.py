@@ -202,6 +202,57 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """→ (doc_a, doc_b, hamming): pairs whose simhashes differ in at
+    most ``max_hamming`` bits — the pigeonhole band join that turns the
+    simhash SIGNATURE (above) into a usable near-dup detector at scale.
+
+    Pigeonhole: split the ``bits``-bit signature into ``n_bands`` equal
+    bands; any pair within hamming ``n_bands − 1`` (3 at the 4-band
+    default) must agree EXACTLY on at least one band, so candidates are
+    an equality self-join on (band, band_value) — never an all-pairs
+    scan — and the exact popcount-of-xor verify runs per candidate.
+    Band values of near-uniform hashes are near-uniform → skewless
+    join keys, same argument as the minhash LSH bucket join.
+    """
+    assert bits % n_bands == 0, "bands must tile the signature"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+
+    sig = simhash(docs, bits=bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.expr(f"(simhash >> {b * width}) & {mask}").alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keys = sig.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.expr("sig_a ^ sig_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dups_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,

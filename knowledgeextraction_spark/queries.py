@@ -707,6 +707,53 @@ _EMB_REPL_SQL = (
 )
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup PAIRS via the pigeonhole band join (hamming ≤ 3
+    must agree on one of 4 bands) over documents ∪ replicas — the
+    scale path from signature to detector; never an all-pairs join."""
+    return dedup.simhash_near_pairs(_docs_with_replicas(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def sql_dedup_simhash_pairs() -> str:
+    sim = """
+WITH words AS (
+  SELECT doc_id, word, count(*) AS w
+  FROM (SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+        FROM {src} d) t
+  WHERE length(word) > 0 GROUP BY doc_id, word
+),
+hashed AS (
+  SELECT doc_id, w, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM per_bit GROUP BY doc_id
+),
+keys AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bval
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM keys a JOIN keys b ON a.band = b.band AND a.bval = b.bval
+                       AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+""".format(src=_DOCS_REPL_SQL)
+    return sim
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the LSH-BUCKETED production path
     (dedup.embedding_near_dups_lsh — round-2 verdict: the registered
@@ -1647,6 +1694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     # multimodal decode + resize
     "multimodal_features": q_multimodal_features,
@@ -1714,6 +1762,7 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
     "dedup_jaccard": sql_dedup_jaccard(),
     "dedup_simhash": sql_dedup_simhash(),
+    "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),
     "multimodal_features": sql_multimodal_features(),
     "multimodal_resize": sql_multimodal_resize(),

@@ -556,3 +556,33 @@ def test_resize_media_video_and_audio_passthrough(spark):
     img = out[9]
     iw, ih, _mv, _px, _ = _parse_ppm(bytes(img["payload"]))
     assert (iw, ih) == (4, 3) == (img["width"], img["height"])
+
+
+def test_simhash_near_pairs_pigeonhole_complete(spark):
+    """The 4-band pigeonhole join must find EVERY pair with hamming ≤ 3
+    (a pair missing from all four bands would need ≥ 4 differing bits)
+    — verified against brute force over the same signatures."""
+    from itertools import combinations
+
+    from knowledgeextraction_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)) + (" extra" if i % 4 == 0 else ""))
+            for i in range(40)
+        ]
+        + [(100 + i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert len(want) > 0  # the near-identical planted docs collide
+    assert got == want
