@@ -31,11 +31,13 @@ AUDIT = [
     "dedup_lsh_pairs",
     "dedup_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding",
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",
     "multimodal_features",
+    "multimodal_resize",
     "text_stats",
     "vocab_min_occur",
     "sessionize",
@@ -86,6 +88,9 @@ Commentary (what the counts mean for the 100 TB plan):
   shingle table.  `dedup_embedding` is the LSH-bucketed path (round-2
   verdict item 5): zero cartesian nodes — candidates come from the
   (band, bucket) self-join, and only verified pairs pay a cosine.
+  `dedup_simhash_pairs` is the same shape on the simhash side: the
+  pigeonhole (band, value) equality self-join replaces the all-pairs
+  hamming scan.
 - **similarity_lsh**: per-band keying is one narrow Arrow-batched GEMM
   (the exchange count includes the scan repartitions of both sides);
   the wide work is the band-bucket join plus candidate dedup — the
@@ -94,9 +99,10 @@ Commentary (what the counts mean for the 100 TB plan):
   vectors land in ONE posting list each, so candidate pairs are unique
   by construction and the plan needs no distinct — one join on the
   centroid key plus the top-k window.
-- **multimodal_features**: payload synthesis and decode are one narrow
-  mapInPandas chain — media bytes never shuffle; the exchanges are the
-  scan repartition and the output orderBy of the exploded features.
+- **multimodal_features / multimodal_resize**: payload synthesis,
+  (resize,) and decode are one narrow mapInPandas chain — media bytes
+  never shuffle; the exchanges are the scan repartition and the output
+  orderBy of the exploded features.
 - **vocab_min_occur**: the single `SinglePartition` exchange is the
   ≤#partitions-row offsets table (bounded by cluster parallelism, not
   data); the word-scale path is range-partitioned.
