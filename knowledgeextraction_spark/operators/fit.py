@@ -19,10 +19,12 @@ narrow passes, no shuffle of training rows at all:
 The per-partition accumulators are dense [929, 929] float64 matrices —
 per-partition imperative state, which is the one case SURVEY.md §3
 reserves for RDD-level code; everything upstream of the fit stays
-DataFrames.  Partials are summed on the driver in partition order
-(deterministic); at 10⁹ partitions you'd ``treeAggregate`` the same
-fixed-size partials instead, accepting ±1e-15 combine-order noise
-(below float32 weight resolution).
+DataFrames.  Up to ``TREE_THRESHOLD`` partitions the partials are
+summed on the driver in partition order (deterministic); beyond it
+(driver memory = #partitions × ~7 MB otherwise) they tree-combine on
+executors (``treeReduce``), accepting ±1e-15 combine-order noise —
+below float32 weight resolution, and the parity test passes under a
+forced threshold of 1.
 
 Parity with the single-node fit is approximate, not bit-exact: the
 single-node path encodes every training row in ONE BLAS batch, the
@@ -50,6 +52,10 @@ from ..core.packing import pack_sentences
 from ..core.vocab import build_vocab
 
 ENCODE_BATCH = 64
+# above this many partitions, Gram partials tree-combine on executors
+# instead of being collected (driver memory is the constraint: each
+# partial is a dense [HEAD_DIM+1, HEAD_DIM+1] float64 ≈ 7 MB)
+TREE_THRESHOLD = 64
 
 # input schema for training records: per-text gold entity spans
 TRAIN_SCHEMA = (
@@ -91,8 +97,16 @@ def label_frequencies(records: DataFrame) -> np.ndarray:
     return np.sum(partials, axis=0) if partials else np.zeros(NUM_LABELS, np.int64)
 
 
-def _gram_partials(records: DataFrame, weights_bc, sw2_class: np.ndarray):
-    """Pass 2: per-partition (G, R) over encoded masked positions."""
+def _gram_partials(
+    records: DataFrame,
+    weights_bc,
+    sw2_class: np.ndarray,
+    tree_threshold: int = TREE_THRESHOLD,
+):
+    """Pass 2: (G, R) partials over encoded masked positions — a list of
+    per-partition (idx, G, R) when the partition count is driver-
+    collectable, else ONE pre-combined (0, G, R) from an executor-side
+    ``treeReduce``."""
     d = HEAD_DIM + 1
 
     def part(idx, rows):
@@ -119,7 +133,14 @@ def _gram_partials(records: DataFrame, weights_bc, sw2_class: np.ndarray):
             r += xw2.T @ y
         yield idx, g, r
 
-    return records.select("text", "ents").rdd.mapPartitionsWithIndex(part).collect()
+    rdd = records.select("text", "ents").rdd
+    partials = rdd.mapPartitionsWithIndex(part)
+    if rdd.getNumPartitions() <= tree_threshold:
+        return partials.collect()
+    combined = partials.map(lambda t: (t[1], t[2])).treeReduce(
+        lambda a, b: (a[0] + b[0], a[1] + b[1]), depth=3
+    )
+    return [(0, combined[0], combined[1])]
 
 
 def distributed_ridge_fit(
@@ -127,6 +148,7 @@ def distributed_ridge_fit(
     weights_bc,
     l2: float = 1e-2,
     class_weight_pow: float = 0.3,
+    tree_threshold: int = TREE_THRESHOLD,
     _partials_cache: list | None = None,
     _freq: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -138,7 +160,7 @@ def distributed_ridge_fit(
     sw2_class = sw_raw / sw_raw.min()  # (√(sw/sw.min()))² per class
 
     partials = (
-        _gram_partials(records, weights_bc, sw2_class)
+        _gram_partials(records, weights_bc, sw2_class, tree_threshold)
         if _partials_cache is None
         else _partials_cache
     )

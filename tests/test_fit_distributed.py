@@ -116,3 +116,17 @@ def test_fit_select_l2_elects_best_dev_checkpoint(spark, fit_corpus):
     assert best_acc >= 0.9, f"trained model should fit the dev split: {accs}"
     # the elected weights really are the ones scoring best_acc
     assert abs(masked_accuracy(dev, bc, pw, pb) - best_acc) < 1e-12
+
+
+def test_tree_combined_partials_match_driver_sum(spark, fit_corpus):
+    """Forcing the executor-side treeReduce path (threshold 1) must
+    produce the same solved weights as the driver-ordered sum — the
+    combine-order noise is ~1e-15, far below the asserted tolerance."""
+    from knowledgeextraction_spark.operators.fit import distributed_ridge_fit
+
+    bc = spark.sparkContext.broadcast(get_weights())
+    records = _records_df(spark, fit_corpus.pages)
+    pw_driver, pb_driver = distributed_ridge_fit(records, bc)
+    pw_tree, pb_tree = distributed_ridge_fit(records, bc, tree_threshold=1)
+    assert np.allclose(pw_tree, pw_driver, rtol=1e-6, atol=1e-8)
+    assert np.allclose(pb_tree, pb_driver, rtol=1e-6, atol=1e-8)
