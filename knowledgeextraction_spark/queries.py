@@ -340,6 +340,76 @@ def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    sessionization, streaming/stateful.py) as a driver-gated query:
+    events replay as three event-time-ordered file drops, each user's
+    open session rides group state across micro-batches, and a session
+    row is appended exactly once when a later event closes it.  Oracle:
+    the batch sessionize SQL minus each user's final (still-open)
+    session — so stream output == batch semantics is the gate, not just
+    a pytest property."""
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import sessionize_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkkg_sessions_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    in_dir, out_dir, ckpt = (
+        os.path.join(base, "in"),
+        os.path.join(base, "out"),
+        os.path.join(base, "_ckpt"),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    t1, t2 = ev.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"),
+    ).first()
+    # three sequential single-file drops in event-time order: the
+    # stateful contract needs per-user time order ACROSS micro-batches
+    # (within a batch the operator sorts)
+    for cond in [micros <= t1, (micros > t1) & (micros <= t2), micros > t2]:
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("user_id", "session_id")
+
+
+def sql_streaming_sessions() -> str:
+    from .queries_relational import sql_sessionize
+
+    body = sql_sessionize().strip().rstrip()
+    assert body.endswith("ORDER BY user_id, session_id")
+    body = body[: -len("ORDER BY user_id, session_id")]
+    return f"""
+WITH sessions AS ({body})
+SELECT user_id, session_id, n_events, first_event, last_event
+FROM sessions
+QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_id
+"""
+
+
 def q_graph_bucketed_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 as a driver-gated query: materialize the triples/nodes graph
     tables BUCKETED by entity id (pipeline.write_bucketed_graph_tables,
@@ -1683,6 +1753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_relations_scored": q_kg_relations_scored,
     # streaming ingest + bucketed graph sink (golden-gated round trips)
     "streaming_triples": q_streaming_triples,
+    "streaming_sessions": q_streaming_sessions,
     "graph_bucketed_degree": q_graph_bucketed_degree,
     # distributed training analog (F17/W8) — rows-only driver check; the
     # real gate is tests/test_fit_distributed.py single-node parity
@@ -1751,6 +1822,7 @@ ORACLES: dict[str, str] = {
     "mrc_answers": sql_golden("mrc_answers"),
     "kg_relations_scored": sql_golden("kg_relations_scored"),
     "streaming_triples": sql_golden("kg_triples"),
+    "streaming_sessions": sql_streaming_sessions(),
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
     "dirty_json": sql_dirty_json(),
     "kg_lang_gate": sql_kg_lang_gate(),
