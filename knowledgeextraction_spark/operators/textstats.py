@@ -1,12 +1,15 @@
 """Text analysis operators: quality scoring, lang-ID, tokens, fingerprints.
 
-All pure Catalyst expressions (whole-stage codegen; zero Python) and all
+Pure Catalyst expressions (whole-stage codegen; zero Python) except the
+winnowing kernel, which is one Arrow-batched numpy pass (see
+winnow_fingerprints for why Catalyst is quadratic there); everything is
 portable to the DuckDB oracle. The quality-score recipe follows the
 standard web-corpus filters (length / punctuation / stopword ratios).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,6 +79,66 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+WINNOW_K = 5  # char k-gram width for the rolling hash
+WINNOW_W = 4  # winnowing window (hashes per selection window)
+_ROLL_BASE = 31
+_ROLL_MOD = 1_000_003  # prime; k·base^(k−1)·max_code ≪ 2^63, no overflow pre-mod
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints over a char-k-gram ROLLING hash
+    → (doc_id, fingerprint) rows, one per selected hash.
+
+    Per document: hash every char k-gram with the polynomial rolling
+    hash ``Σ code(c_j)·B^(k−1−j) mod M``, slide a window of ``w``
+    consecutive hashes, select each window's minimum, and emit the
+    distinct selections — the guarantee (winnowing paper, Schleimer et
+    al. 2003) is that any match of length ≥ k+w−1 shares a fingerprint.
+    The kernel is one Arrow-batched numpy pass (convolve for the
+    polynomial hash, sliding_window_view for the window minima) — a
+    narrow map, no shuffle until the caller aggregates.  A pure
+    Catalyst formulation exists but is quadratic in practice: an array
+    expression referenced inside a higher-order-function lambda
+    (slice/element_at over the hash array per window) is re-evaluated
+    PER ELEMENT after projection collapse — measured ~1 s/doc, the same
+    interpreted-HOF wall similarity.lsh_band_keys documents; the
+    vectorized UDF does the whole sf0.01 table in well under a second.
+    Documents shorter than k chars emit no rows.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    powers = np.array(
+        [(_ROLL_BASE ** (k - 1 - j)) for j in range(k)], dtype=np.int64
+    )
+
+    @pandas_udf("array<int>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            # strip SPACES only — the oracle's SQL trim() strips ' '
+            # alone, and Python str.strip() (all whitespace) would be
+            # the exact divergence class the round-2 ADVICE flagged
+            t = (text or "").strip(" ").lower()
+            if len(t) < k + w - 1:
+                out.append([])
+                continue
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+            # polynomial k-gram hash = correlation with the power vector
+            hashes = np.convolve(codes, powers[::-1], mode="valid") % _ROLL_MOD
+            wins = np.lib.stride_tricks.sliding_window_view(hashes, w)
+            out.append(np.unique(wins.min(axis=1)).astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return (
+        docs.select("doc_id", winnow(F.col(text_col)).alias("fps"))
+        .filter(F.size("fps") > 0)
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
     )
 
 

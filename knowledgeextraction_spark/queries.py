@@ -1282,6 +1282,43 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS) — the near-dup
+    fingerprint with the k+w−1 match guarantee, pure Catalyst."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
+def sql_winnow_fingerprints() -> str:
+    k, w = textstats.WINNOW_K, textstats.WINNOW_W
+    mod = 1_000_003
+    powers = [(31 ** (k - 1 - j)) for j in range(k)]
+    hash_terms = " + ".join(
+        f"ascii(t[p + {j}]) * {powers[j]}" for j in range(k)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+hashed AS (
+  SELECT doc_id,
+         [({hash_terms}) % {mod}
+          for p in range(1, greatest(length(t) - {k} + 1, 0) + 1)] AS hashes
+  FROM base WHERE length(t) >= {k}
+),
+winnowed AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(hashes[i:i + {w} - 1])
+            for i in range(1, greatest(len(hashes) - {w} + 1, 0) + 1)]
+         )) AS fps
+  FROM hashed WHERE len(hashes) >= {w}
+)
+SELECT doc_id, unnest(fps)::INT AS fingerprint
+FROM winnowed WHERE len(fps) > 0
+ORDER BY doc_id, fingerprint
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1779,6 +1816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # relational/window operator coverage
     "label_freq": q_label_freq,
     "length_histogram": q_length_histogram,
@@ -1845,6 +1883,7 @@ ORACLES: dict[str, str] = {
     "lang_id": sql_lang_id(),
     "token_counts": sql_token_counts(),
     "fingerprints": sql_fingerprints(),
+    "winnow_fingerprints": sql_winnow_fingerprints(),
     "label_freq": sql_label_freq(),
     "length_histogram": sql_length_histogram(),
     "distinct_labels": sql_distinct_labels(),

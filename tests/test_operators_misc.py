@@ -586,3 +586,30 @@ def test_simhash_near_pairs_pigeonhole_complete(spark):
     }
     assert len(want) > 0  # the near-identical planted docs collide
     assert got == want
+
+
+def test_winnow_fingerprints_match_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): any substring
+    match of length >= k + w - 1 shares at least one fingerprint; and
+    disjoint-alphabet docs share none."""
+    from knowledgeextraction_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix one " + shared + " suffix alpha"),
+            (1, "completely different start " + shared),
+            (2, "zzz qqq xxx vvv kkk www uuu mmm nnn ppp rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
