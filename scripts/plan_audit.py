@@ -24,6 +24,7 @@ AUDIT = [
     "mrc_answers",
     "kg_relations_scored",
     "streaming_triples",
+    "streaming_sessions",
     "graph_bucketed_degree",
     "squad_read",
     "dedup_exact",
@@ -39,6 +40,7 @@ AUDIT = [
     "multimodal_features",
     "multimodal_resize",
     "text_stats",
+    "winnow_fingerprints",
     "vocab_min_occur",
     "sessionize",
     "conlleval_metrics",
