@@ -777,6 +777,108 @@ _EMB_REPL_SQL = (
 )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION — what a training-data pipeline actually
+    ships: exact-dup pairs ∪ near-dup (Jaccard ≥ 0.5) pairs become
+    equivalence edges, connected components (the M10 operator reused on
+    doc ids) give each duplicate cluster a stable id = min member, and
+    every document gets a keep/drop verdict (keep ⇔ it is its
+    cluster's representative).  Components are transitive on purpose:
+    A≈B≈C collapses to one kept doc even when A,C never pair directly.
+    Scale: the edge set is |dup pairs| (≪ |docs|), so the CC cost is
+    the dedup family's, not the corpus's."""
+    from pyspark import StorageLevel
+
+    from .operators.canonicalize import connected_components
+
+    d = _docs_with_replicas(spark, sf_dir)
+    sh = dedup.shingle_table(d).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = dedup.lsh_candidate_pairs(d, shingles=sh)
+    near = dedup.ngram_jaccard_pairs(d, cands, threshold=0.5, shingles=sh).select(
+        "doc_a", "doc_b"
+    )
+    hashed = d.select("doc_id", F.md5(dedup.normalized_text()).alias("h"))
+    exact = (
+        hashed.alias("a")
+        .join(hashed.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    edges = (
+        near.unionByName(exact)
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component_id"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dedup_keep() -> str:
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    return f"""
+WITH RECURSIVE sh AS ({sh}),
+sig AS (
+  SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM {_DOCS_REPL_SQL} d
+),
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+          UNION SELECT doc_a, doc_b FROM exact),
+sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges UNION SELECT dst, dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+FROM {_DOCS_REPL_SQL} d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup PAIRS via the pigeonhole band join (hamming ≤ 3
     must agree on one of 4 bands) over documents ∪ replicas — the
@@ -1804,6 +1906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_keep": q_dedup_keep,
     # multimodal decode + resize
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -1874,6 +1977,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),
+    "dedup_keep": sql_dedup_keep(),
     "multimodal_features": sql_multimodal_features(),
     "multimodal_resize": sql_multimodal_resize(),
     "similarity_topk": sql_similarity_topk(),

@@ -34,6 +34,7 @@ AUDIT = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
+    "dedup_keep",
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",
