@@ -197,14 +197,16 @@ def folded64(weights: dict[str, np.ndarray]) -> _Folded64:
     # npz loads of the SAME encoder — id-keying would rebuild the 46 MB
     # tables on every head switch within a session
     emb = weights["emb"]
-    # emb + w1/w2 samples: _Folded64 folds the ENCODER only (no proj),
-    # so the key must cover exactly those arrays
+    # _Folded64 folds the ENCODER only (emb, w1, w2, b1, b2 — no proj):
+    # the key samples every one of those arrays
     key = (
         emb.shape,
         emb[0, :8].tobytes(),
         emb[-1, :8].tobytes(),
         weights["w1"][0, :8].tobytes(),
         weights["w2"][0, :8].tobytes(),
+        weights["b1"][:8].tobytes(),
+        weights["b2"][:8].tobytes(),
     )
     f = _FOLD64_CACHE.get(key)
     if f is None:

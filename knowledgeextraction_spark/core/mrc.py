@@ -205,12 +205,24 @@ def _mrc_folded(weights: dict[str, np.ndarray]) -> _MRCFolded:
     # Content key (model.folded64's pattern), NOT id(): an id-keyed
     # cache without a retained reference can silently return stale
     # tables when the keyed array is freed (e.g. an evicted broadcast
-    # block re-fetched) and a new one lands at a recycled id.
-    ws, emb = weights["mrc_ws"], weights["emb"]
+    # block re-fetched) and a new one lands at a recycled id.  Samples
+    # EVERY folded array (ws, we, wc, emb) — a key covering only some
+    # of them is the stale-hit class all over again for dicts sharing
+    # the covered arrays but differing in an uncovered head.
+    ws, we, wc, emb = (
+        weights["mrc_ws"],
+        weights["mrc_we"],
+        weights["mrc_wc"],
+        weights["emb"],
+    )
     key = (
         ws.shape + emb.shape,
         ws[0, :8].tobytes(),
         ws[-1, -8:].tobytes(),
+        we[0, :8].tobytes(),
+        we[-1, -8:].tobytes(),
+        wc[0, :8].tobytes(),
+        wc[-1, -8:].tobytes(),
         emb[0, :8].tobytes(),
         emb[-1, :8].tobytes(),
     )

@@ -209,12 +209,15 @@ def fit_select_l2(
     weights_bc,
     l2_grid: tuple[float, ...] = (1e-3, 1e-2, 1e-1),
     class_weight_pow: float = 0.3,
+    freq: np.ndarray | None = None,
 ):
     """W8 best-checkpoint election: one closed-form fit per λ (the Gram
     partials are computed ONCE and re-solved per λ — the expensive
     distributed passes don't repeat), dev masked accuracy per fit, keep
-    the argmax.  → (best_l2, best_acc, proj_w, proj_b, per-λ accs)."""
-    freq = label_frequencies(train)
+    the argmax.  → (best_l2, best_acc, proj_w, proj_b, per-λ accs).
+    Pass ``freq`` to reuse an already-computed label-frequency pass."""
+    if freq is None:
+        freq = label_frequencies(train)
     sw_raw = (freq.sum() / (freq + 1.0)) ** class_weight_pow
     sw2_class = sw_raw / sw_raw.min()
     partials = _gram_partials(train, weights_bc, sw2_class)

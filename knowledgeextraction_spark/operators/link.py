@@ -34,8 +34,14 @@ def normalize_surface(col) -> F.Column:
     (canonicalize.surface_components).  Python twin:
     core.textops.normalize_digits.  One shared function so the three
     join paths and the numpy oracle can never diverge on the
-    convention (round-2 verdict finding #1)."""
-    return F.regexp_replace(col, r"\d", "0")
+    convention (round-2 verdict finding #1).
+
+    ``(?U)`` matters: the Python twin is ``re.sub(r"\\d", "0")`` whose
+    ``\\d`` matches every Unicode Nd digit (full-width ２０２２, Arabic-
+    Indic …), while Java's default ``\\d`` is ASCII-only — without the
+    flag a CJK corpus surface like '奥运２０２２' would normalize on the
+    oracle side but not in Spark and silently miss the dictionary."""
+    return F.regexp_replace(col, r"(?U)\d", "0")
 
 
 def surface_dictionary(entities: DataFrame) -> DataFrame:

@@ -108,7 +108,8 @@ def winnow_fingerprints(
     PER ELEMENT after projection collapse — measured ~1 s/doc, the same
     interpreted-HOF wall similarity.lsh_band_keys documents; the
     vectorized UDF does the whole sf0.01 table in well under a second.
-    Documents shorter than k chars emit no rows.
+    Documents shorter than k + w − 1 chars (no full window) emit no
+    rows — the same threshold the SQL oracle applies.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf

@@ -72,26 +72,27 @@ def detect_mentions(records: list[tuple[str, int, str]], weights=None) -> list[M
 
 
 def link_mentions(
-    mentions: list[Mention], surface_to_entity: dict[str, int]
+    mentions: list[Mention], entities
 ) -> list[tuple[Mention, int]]:
     """Dictionary linking: mention surface → entity_id (drop unlinked).
 
-    Both sides are digit-normalized (core.textops.normalize_digits) —
-    the shared convention of operators/link.py (dictionary build at
-    surface_dictionary, mention keys at link_mentions) and the narrow
-    triple path.  On collision (two raw surfaces normalizing to the
-    same key) the smallest entity_id wins, mirroring the Spark
-    dictionary's groupBy(surface).agg(min(entity_id))."""
+    Mirrors operators/link.py exactly: surfaces digit-normalized
+    (core.textops.normalize_digits) on BOTH sides, dictionary keyed by
+    (normalized surface, label_type) with min(entity_id) on collision
+    — per TYPE, like Spark's groupBy(surface, label_type) — and the
+    mention links only when its label_type agrees.  ``entities`` is the
+    canonical entity list (fixtures Entity objects)."""
     from ..core.textops import normalize_digits
 
-    norm_dict: dict[str, int] = {}
-    for s, eid in surface_to_entity.items():
-        key = normalize_digits(s)
-        if key not in norm_dict or eid < norm_dict[key]:
-            norm_dict[key] = eid
+    norm_dict: dict[tuple[str, str], int] = {}
+    for e in entities:
+        for s in [e.canonical_name, *e.aliases]:
+            key = (normalize_digits(s), e.label_type)
+            if key not in norm_dict or e.entity_id < norm_dict[key]:
+                norm_dict[key] = e.entity_id
     out = []
     for m in mentions:
-        eid = norm_dict.get(normalize_digits(m.surface))
+        eid = norm_dict.get((normalize_digits(m.surface), m.label_type))
         if eid is not None:
             out.append((m, eid))
     return out
@@ -154,7 +155,7 @@ def run_pipeline(corpus: Corpus, max_seq_length: int = 382):
             records_list.append((page.url, rec_id, rec_text))
 
     mentions = detect_mentions(records_list)
-    linked = link_mentions(mentions, corpus.surface_to_entity)
+    linked = link_mentions(mentions, corpus.entities)
 
     # canonical component id per entity: via its canonical surface
     comp_of_entity = {

@@ -373,9 +373,21 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     # three sequential single-file drops in event-time order: the
     # stateful contract needs per-user time order ACROSS micro-batches
-    # (within a batch the operator sorts)
-    for cond in [micros <= t1, (micros > t1) & (micros <= t2), micros > t2]:
+    # (within a batch the operator sorts).  The file source orders new
+    # files by MODIFICATION TIME (ms granularity) — two fast writes can
+    # land in the same millisecond and process in arbitrary order — so
+    # each drop's files get an explicit, widely spaced mtime stamp.
+    stamped: set[str] = set()
+    for i, cond in enumerate(
+        [micros <= t1, (micros > t1) & (micros <= t2), micros > t2]
+    ):
         ev.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
+        t_stamp = 1_600_000_000 + i * 3600
+        for f_name in os.listdir(in_dir):
+            p = os.path.join(in_dir, f_name)
+            if f_name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (t_stamp, t_stamp))
+                stamped.add(p)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -492,20 +504,27 @@ def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"text": pdf["text"], "ents": ents})
 
-    train_all = records.mapInPandas(weak_label, TRAIN_SCHEMA).repartition(
-        spark.sparkContext.defaultParallelism
+    from pyspark import StorageLevel
+
+    # persisted: the fit runs several distributed passes (freq, gram
+    # partials, per-λ dev scoring) over the same weak-labeled records —
+    # without the persist each pass replays extract→pack→regex-label
+    train_all = (
+        records.mapInPandas(weak_label, TRAIN_SCHEMA)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # deterministic 80/20 train/dev split on a text hash
     bucket = F.pmod(F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int"), F.lit(5))
     train = train_all.filter(bucket != 0)
     dev = train_all.filter(bucket == 0)
 
-    best_l2, best_acc, _pw, _pb, _accs = fit_select_l2(
-        train, dev, weights_broadcast(spark), l2_grid=(1e-3, 1e-2, 1e-1)
-    )
     from .operators.fit import label_frequencies
 
-    freq = label_frequencies(train)
+    freq = label_frequencies(train)  # one pass, shared with the fit
+    best_l2, best_acc, _pw, _pb, _accs = fit_select_l2(
+        train, dev, weights_broadcast(spark), l2_grid=(1e-3, 1e-2, 1e-1), freq=freq
+    )
     rows = [(f"freq_{lab}", float(freq[i])) for i, lab in enumerate(LABELS)]
     rows += [("best_l2", float(best_l2)), ("dev_masked_accuracy", round(float(best_acc), 6))]
     return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
@@ -1007,10 +1026,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_multimodal_features() -> str:
-    # closed forms of fixtures/media.py params + operators/multimodal.py
-    # decoder semantics (constant-pixel PPM / constant-amplitude WAVE)
-    w, h = "(4 + doc_id % 3)", "(3 + doc_id % 2)"
+def _sql_multimodal(w: str, h: str) -> str:
+    """Shared oracle body for the multimodal decode queries — closed
+    forms of fixtures/media.py params + operators/multimodal.py decoder
+    semantics (constant-pixel PPM / constant-amplitude WAVE).  ``w``/
+    ``h`` are the visual dims as SQL expressions: the source dims for
+    the plain decode, the resize targets for the resize query (channel
+    stats are resize-invariant on constant pixels; only dims and byte
+    counts change, audio passes through)."""
     r, g, b = "(doc_id % 128)", "((2*doc_id + 1) % 128)", "((5*doc_id + 2) % 128)"
     sr, n, amp = "(8000 * (1 + doc_id % 4))", "(256 + 2*(doc_id % 8))", "(doc_id % 1001 - 500)"
     img = [
@@ -1053,6 +1076,10 @@ SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, dim,
 FROM media CROSS JOIN (SELECT unnest(range(8)) AS dim) d
 ORDER BY media_id, dim
 """
+
+
+def sql_multimodal_features() -> str:
+    return _sql_multimodal("(4 + doc_id % 3)", "(3 + doc_id % 2)")
 
 
 # ---------------------------------------------------------------------------
@@ -1197,49 +1224,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_multimodal_resize() -> str:
-    w, h = str(_RESIZE_W), str(_RESIZE_H)
-    r, g, b = "(doc_id % 128)", "((2*doc_id + 1) % 128)", "((5*doc_id + 2) % 128)"
-    sr, n, amp = "(8000 * (1 + doc_id % 4))", "(256 + 2*(doc_id % 8))", "(doc_id % 1001 - 500)"
-    img = [
-        f"{w} / 4096.0",
-        f"{h} / 4096.0",
-        f"{r} / 128.0",
-        f"{g} / 128.0",
-        f"{b} / 128.0",
-        "0.0",
-        f"least({r}, {g}, {b}) / 128.0",
-        f"greatest({r}, {g}, {b}) / 128.0",
-    ]
-    aud = [
-        f"{sr} / 48000.0",
-        f"{n} / 1000000.0",
-        f"abs({amp}) / 32768.0",
-        f"abs({amp}) / 32768.0",
-        f"abs({amp}) / 32768.0",
-        "0.0",
-        "0.5",
-        "0.125",
-    ]
-    img_case = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(img))
-    aud_case = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(aud))
-    return f"""
-WITH media AS (
-  SELECT doc_id AS media_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                         ELSE 'video' END AS kind,
-         CASE doc_id % 3
-           WHEN 0 THEN 11 + {w} * {h} * 3
-           WHEN 1 THEN 44 + 2 * {n}
-           ELSE 3 * (11 + {w} * {h} * 3) END AS n_bytes,
-         doc_id
-  FROM documents
-)
-SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, dim,
-       round(CASE WHEN kind = 'audio' THEN (CASE dim {aud_case} END)
-                  ELSE (CASE dim {img_case} END) END, 6) AS value
-FROM media CROSS JOIN (SELECT unnest(range(8)) AS dim) d
-ORDER BY media_id, dim
-"""
+    return _sql_multimodal(str(_RESIZE_W), str(_RESIZE_H))
 
 
 _IVF_K = 16
@@ -1386,7 +1371,9 @@ FROM documents ORDER BY doc_id
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS) — the near-dup
-    fingerprint with the k+w−1 match guarantee, pure Catalyst."""
+    fingerprint with the k+w−1 match guarantee; one Arrow-batched
+    numpy kernel (see the operator for why Catalyst is quadratic
+    here)."""
     return textstats.winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
         "doc_id", "fingerprint"
     )

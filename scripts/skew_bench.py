@@ -3,13 +3,13 @@
 
 Round-2 verdict item 7: link.py's ``salted=True`` path was
 parity-tested but never exercised under an actual Zipfian hot key.
-This bench plants one surface covering ~30% of all mentions and times
+This bench plants one surface covering ~40% of all mentions and times
 the dictionary join three ways at local[8] (the operating point where
 the dictionary has outgrown broadcast — ``autoBroadcastJoinThreshold``
 is disabled so the join actually shuffles):
 
 1. naive shuffle join (AQE skew-join OFF) — the hot key's partition is
-   one straggler task doing ~30% of the probe work alone;
+   one straggler task doing ~40% of the probe work alone;
 2. AQE skew-join (Spark's runtime mitigation) — the planner splits the
    oversized partition after seeing map statistics;
 3. explicit salting (operators/link.py:link_mentions(salted=True)) —
@@ -36,11 +36,6 @@ N_DICT = 50_000
 HOT_FRACTION = 0.4
 N_SALT = 8
 REPEATS = int(os.environ.get("SPARKKG_SKEW_REPEATS", "3"))
-
-# digits → letters so the linking convention (digit → '0') can't
-# collide the synthetic keys
-_LETTERS = "'0123456789', 'abcdefghij'"
-
 
 def build_inputs(spark):
     import pyspark.sql.functions as F
@@ -78,8 +73,6 @@ def build_inputs(spark):
         .alias("surface"),
     )
     # the hot surface must resolve: give it a dictionary row
-    import pyspark.sql.functions as F2
-
     hot_row = spark.createDataFrame(
         [(N_DICT, "shot", [], "T", [0.0], True)], dic.schema
     )

@@ -613,3 +613,17 @@ def test_winnow_fingerprints_match_guarantee(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps[0] & fps[1], "shared substring must share a fingerprint"
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_normalize_surface_matches_python_on_unicode_digits(spark):
+    """Java's default \\d is ASCII-only while the Python twin
+    (textops.normalize_digits) matches every Unicode Nd digit — the
+    (?U) flag in link.normalize_surface closes that gap.  Full-width
+    and Arabic-Indic digits must normalize identically on both sides."""
+    from knowledgeextraction_spark.core.textops import normalize_digits
+    from knowledgeextraction_spark.operators.link import normalize_surface
+
+    vals = ["abc１２３", "２", "x2y２z", "no digits", "٣٤", "丞业２０２２"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r["n"] for r in df.select(normalize_surface(F.col("s")).alias("n")).collect()]
+    assert got == [normalize_digits(v) for v in vals]

@@ -251,7 +251,7 @@ def test_digit_alias_narrow_granular_oracle_parity(spark, corpus):
             opl.Mention("https://digit.test/p0", 0, s, e, t, surf)
             for s, e, t, surf in (m1, m2)
         ],
-        corpus.surface_to_entity,
+        corpus.entities,
     )
     comp_of_entity = {
         e.entity_id: corpus.expected_components[e.canonical_name]
