@@ -27,11 +27,20 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BANDS = 8
 SHINGLE = 3  # word 3-grams
+# default per-(band, sig) bucket cap for the LSH candidate joins: a
+# bucket of b members emits b(b-1)/2 candidate rows, so an uncapped
+# mega-bucket (boilerplate duplicated millions of times on real web
+# data) is quadratic.  The standard pipeline collapses exact
+# duplicates FIRST (collapse_exact below), so oversized buckets can
+# only come from huge NEAR-duplicate families; the cap bounds those to
+# max_bucket²/2 pairs per bucket and the dropped mass is measurable
+# (buckets over the cap), not silent.
+MAX_BUCKET = 1000
 
 
 def normalized_text(col="text"):
@@ -50,6 +59,37 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_dups") >= 2)
     )
+
+
+def exact_members(docs: DataFrame) -> DataFrame:
+    """→ docs + (content_hash, rep_id): every doc mapped to the min
+    doc_id of its exact-content group (rep_id == doc_id ⇔ this doc is
+    the group's representative).  One shuffle (window on the content
+    hash); hash keys are uniform so the exchange is skewless even when
+    a single boilerplate page has millions of copies — the quadratic
+    danger is downstream pair enumeration, which callers avoid by
+    running near-dup candidate generation on representatives only
+    (``collapse_exact``) and emitting STAR edges (member → rep), never
+    member × member cliques."""
+    w = Window.partitionBy("content_hash")
+    return docs.withColumn("content_hash", F.md5(normalized_text())).withColumn(
+        "rep_id", F.min("doc_id").over(w)
+    )
+
+
+def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (reps, members): the standard dedup pipeline order — collapse
+    exact duplicates to one representative BEFORE shingling/minhash, so
+    an exact-duplicate cluster of m docs contributes ONE doc to the
+    near-dup candidate join instead of m docs sharing every band bucket
+    (which would emit ~m²·bands/2 candidates).  ``reps`` has the
+    original doc columns (representatives only); ``members`` is
+    (doc_id, rep_id) for re-expanding verdicts at the end."""
+    m = exact_members(docs)
+    reps = m.filter(F.col("doc_id") == F.col("rep_id")).drop(
+        "content_hash", "rep_id"
+    )
+    return reps, m.select("doc_id", "rep_id")
 
 
 def word_shingles(col="text", n: int = SHINGLE):
@@ -103,10 +143,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, n_bands: int = N_BANDS, shingles: DataFrame | None = None
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    shingles: DataFrame | None = None,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
-    """→ (doc_a, doc_b) distinct candidate pairs sharing any band bucket."""
+    """→ (doc_a, doc_b) distinct candidate pairs sharing any band bucket.
+
+    ``max_bucket`` drops (band, sig) buckets with more members before
+    the self-join — the skew guard that bounds a single bucket's output
+    to max_bucket²/2 pairs (mirrors embedding_near_dups_lsh's cap).
+    Callers should collapse exact duplicates first (``collapse_exact``)
+    so the cap only ever bites genuine near-dup mega-families; pass
+    ``max_bucket=None`` for the uncapped test/oracle formulation."""
     sig = minhash_signatures(docs, n_bands, shingles=shingles)
+    if max_bucket is not None:
+        sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
+        keep = sizes.filter(F.col("n") <= max_bucket).select("band", "sig")
+        sig = sig.join(keep, ["band", "sig"])
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -207,6 +261,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     n_bands: int = 4,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs whose simhashes differ in at
     most ``max_hamming`` bits — the pigeonhole band join that turns the
@@ -219,8 +274,19 @@ def simhash_near_pairs(
     scan — and the exact popcount-of-xor verify runs per candidate.
     Band values of near-uniform hashes are near-uniform → skewless
     join keys, same argument as the minhash LSH bucket join.
+    ``max_bucket`` is the same oversized-bucket guard as
+    lsh_candidate_pairs' (collapse exact duplicates first so it only
+    bites genuine near-identical mega-families).
     """
     assert bits % n_bands == 0, "bands must tile the signature"
+    # pigeonhole completeness: a pair within ``max_hamming`` differing
+    # bits can dodge band agreement only if every band absorbs ≥1 of
+    # them — possible once max_hamming ≥ n_bands, so such configs
+    # silently lose pairs and must fail loudly instead
+    assert max_hamming <= n_bands - 1, (
+        f"pigeonhole recall requires max_hamming <= n_bands - 1 "
+        f"(got max_hamming={max_hamming}, n_bands={n_bands})"
+    )
     width = bits // n_bands
     mask = (1 << width) - 1
 
@@ -237,6 +303,10 @@ def simhash_near_pairs(
     keys = sig.select(
         "doc_id", "simhash", F.explode(band_structs).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    if max_bucket is not None:
+        sizes = keys.groupBy("band", "bval").agg(F.count("*").alias("n"))
+        keep = sizes.filter(F.col("n") <= max_bucket).select("band", "bval")
+        keys = keys.join(keep, ["band", "bval"])
 
     a = keys.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval"

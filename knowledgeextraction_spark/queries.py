@@ -680,54 +680,84 @@ GROUP BY doc_id, band ORDER BY doc_id, band
 """
 
 
+# exact-dup representatives of documents ∪ replicas: one doc (min
+# doc_id) per normalized-content hash — the standard pipeline order
+# collapses exact duplicates BEFORE shingling/minhash, so a cluster of
+# m identical pages contributes 1 doc to the candidate join, not m docs
+# sharing every band bucket (r3 verdict #1: the m² candidate blow-up)
+_REPS_SQL = f"""(
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ) AS rep_id
+    FROM {_DOCS_REPL_SQL} d
+  ) r WHERE doc_id = rep_id
+)"""
+
+# mirror of dedup.MAX_BUCKET for the oracle: drop oversized (band, sig)
+# buckets before the candidate self-join (never triggers at test scale,
+# but the oracle must carry the same semantics as the Spark cap)
+_LSH_CAP_SQL = f"""
+bsize AS (SELECT band, sig, count(*) AS n FROM sig GROUP BY band, sig),
+sigc AS (
+  SELECT s.* FROM sig s JOIN bsize USING (band, sig) WHERE bsize.n <= {dedup.MAX_BUCKET}
+)"""
+
+
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(_docs_with_replicas(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
-    )
+    """Minhash-LSH candidate pairs among exact-dup REPRESENTATIVES —
+    exact duplicates are collapsed first (dedup.collapse_exact), so the
+    bucket join is linear in cluster size; the ``max_bucket`` cap
+    guards the remaining near-dup mega-buckets (r3 verdict item 1)."""
+    reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
+    return dedup.lsh_candidate_pairs(reps).orderBy("doc_a", "doc_b")
 
 
 def sql_dedup_lsh_pairs() -> str:
-    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_REPS_SQL)
     return f"""
 WITH sig AS (
   SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
   FROM ({sh}) s CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
   GROUP BY doc_id, band
-)
+),{_LSH_CAP_SQL}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+FROM sigc a JOIN sigc b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
 """
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_with_replicas(spark, sf_dir)
+    """LSH-candidate Jaccard verify among exact-dup REPRESENTATIVES
+    (collapse-first pipeline order, r3 verdict item 1)."""
+    reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
     # the shingle table feeds BOTH the LSH candidate stage and the
     # Jaccard verify — build it once and persist (memory-and-disk: at
     # 100 TB it spills rather than recomputing the scan+explode twice)
     from pyspark import StorageLevel
 
-    sh = dedup.shingle_table(d).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = dedup.lsh_candidate_pairs(d, shingles=sh)
+    sh = dedup.shingle_table(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = dedup.lsh_candidate_pairs(reps, shingles=sh)
     return (
-        dedup.ngram_jaccard_pairs(d, cands, threshold=0.5, shingles=sh)
+        dedup.ngram_jaccard_pairs(reps, cands, threshold=0.5, shingles=sh)
         .withColumn("jaccard", F.round("jaccard", 6))
         .orderBy("doc_a", "doc_b")
     )
 
 
 def sql_dedup_jaccard() -> str:
-    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_REPS_SQL)
     return f"""
 WITH sh AS ({sh}),
 sig AS (
   SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
   FROM sh CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
   GROUP BY doc_id, band
-),
+),{_LSH_CAP_SQL},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  FROM sigc a JOIN sigc b ON a.band = b.band AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -798,30 +828,36 @@ _EMB_REPL_SQL = (
 
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION — what a training-data pipeline actually
-    ships: exact-dup pairs ∪ near-dup (Jaccard ≥ 0.5) pairs become
-    equivalence edges, connected components (the M10 operator reused on
-    doc ids) give each duplicate cluster a stable id = min member, and
-    every document gets a keep/drop verdict (keep ⇔ it is its
-    cluster's representative).  Components are transitive on purpose:
-    A≈B≈C collapses to one kept doc even when A,C never pair directly.
-    Scale: the edge set is |dup pairs| (≪ |docs|), so the CC cost is
-    the dedup family's, not the corpus's."""
+    ships: exact-dup STAR edges (member → its content-hash rep, linear
+    in cluster size) ∪ near-dup (Jaccard ≥ 0.5) pairs over exact-dup
+    representatives become equivalence edges, connected components (the
+    M10 operator reused on doc ids) give each duplicate cluster a
+    stable id = min member, and every document gets a keep/drop verdict
+    (keep ⇔ it is its cluster's representative).  Components are
+    transitive on purpose: A≈B≈C collapses to one kept doc even when
+    A,C never pair directly.  Scale: the edge set is
+    |members| + |near pairs| (≪ |docs|²), so the CC cost is linear in
+    duplicate mass — never quadratic in a cluster's size."""
     from pyspark import StorageLevel
 
     from .operators.canonicalize import connected_components
 
     d = _docs_with_replicas(spark, sf_dir)
-    sh = dedup.shingle_table(d).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = dedup.lsh_candidate_pairs(d, shingles=sh)
-    near = dedup.ngram_jaccard_pairs(d, cands, threshold=0.5, shingles=sh).select(
+    # collapse-first pipeline order (r3 verdict items 1+2): near-dup
+    # candidate generation runs over exact-dup REPRESENTATIVES only,
+    # and exact clusters enter the component graph as STAR edges
+    # (member → min doc_id of its content hash) — one edge per member,
+    # linear in cluster size, identical components to the m²-edge
+    # clique by construction (every member is connected through the
+    # representative)
+    reps, members = dedup.collapse_exact(d)
+    sh = dedup.shingle_table(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = dedup.lsh_candidate_pairs(reps, shingles=sh)
+    near = dedup.ngram_jaccard_pairs(reps, cands, threshold=0.5, shingles=sh).select(
         "doc_a", "doc_b"
     )
-    hashed = d.select("doc_id", F.md5(dedup.normalized_text()).alias("h"))
-    exact = (
-        hashed.alias("a")
-        .join(hashed.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    exact = members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     edges = (
         near.unionByName(exact)
@@ -842,17 +878,17 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_keep() -> str:
-    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_REPS_SQL)
     return f"""
 WITH RECURSIVE sh AS ({sh}),
 sig AS (
   SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
   FROM sh CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
   GROUP BY doc_id, band
-),
+),{_LSH_CAP_SQL},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  FROM sigc a JOIN sigc b ON a.band = b.band AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -869,14 +905,15 @@ near AS (
   JOIN sizes sb ON i.doc_b = sb.doc_id
   WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 ),
-hashed AS (
+memb AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         min(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) AS rep_id
   FROM {_DOCS_REPL_SQL} d
 ),
 exact AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+  SELECT rep_id AS doc_a, doc_id AS doc_b FROM memb WHERE doc_id <> rep_id
 ),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
           UNION SELECT doc_a, doc_b FROM exact),
@@ -900,11 +937,13 @@ ORDER BY d.doc_id
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup PAIRS via the pigeonhole band join (hamming ≤ 3
-    must agree on one of 4 bands) over documents ∪ replicas — the
-    scale path from signature to detector; never an all-pairs join."""
-    return dedup.simhash_near_pairs(_docs_with_replicas(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
-    )
+    must agree on one of 4 bands) over exact-dup REPRESENTATIVES of
+    documents ∪ replicas — collapse-first pipeline order (identical
+    texts have identical simhashes, so clusters would otherwise share
+    every band bucket), then the never-all-pairs band join with the
+    ``max_bucket`` oversized-bucket guard."""
+    reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
+    return dedup.simhash_near_pairs(reps).orderBy("doc_a", "doc_b")
 
 
 def sql_dedup_simhash_pairs() -> str:
@@ -934,14 +973,18 @@ sig AS (
 keys AS (
   SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bval
   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+),
+ksize AS (SELECT band, bval, count(*) AS n FROM keys GROUP BY band, bval),
+keysc AS (
+  SELECT k.* FROM keys k JOIN ksize USING (band, bval) WHERE ksize.n <= {cap}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM keys a JOIN keys b ON a.band = b.band AND a.bval = b.bval
-                       AND a.doc_id < b.doc_id
+FROM keysc a JOIN keysc b ON a.band = b.band AND a.bval = b.bval
+                         AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY doc_a, doc_b
-""".format(src=_DOCS_REPL_SQL)
+""".format(src=_REPS_SQL, cap=dedup.MAX_BUCKET)
     return sim
 
 
@@ -958,9 +1001,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_with_replicas(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # max_bucket: the registered production entry ships its own skew
+    # guard (r3 verdict item 5) — exact duplicates collide in EVERY
+    # band, so they survive the cap as long as any one of their 8
+    # buckets is under it; the recall test asserts the planted pairs
+    # are not dropped
     return (
         dedup.embedding_near_dups_lsh(
-            emb, threshold=0.9, n_bands=_LSH_BANDS, bits_per_band=_LSH_BITS, dim=64
+            emb,
+            threshold=0.9,
+            n_bands=_LSH_BANDS,
+            bits_per_band=_LSH_BITS,
+            dim=64,
+            max_bucket=dedup.MAX_BUCKET,
         )
         .withColumn("cosine", F.round("cosine", 6))
         .orderBy("vec_a", "vec_b")
@@ -975,10 +1028,15 @@ keys AS (
   SELECT vec_id, band, {bucket_case} AS bucket
   FROM emb CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS band) b
 ),
+ksize AS (SELECT band, bucket, count(*) AS n FROM keys GROUP BY band, bucket),
+keysc AS (
+  SELECT k.* FROM keys k JOIN ksize USING (band, bucket)
+  WHERE ksize.n <= {dedup.MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM keys a JOIN keys b ON a.band = b.band AND a.bucket = b.bucket
-                         AND a.vec_id < b.vec_id
+  FROM keysc a JOIN keysc b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
 ),
 scored AS (
   SELECT vec_a, vec_b,

@@ -422,6 +422,77 @@ def test_write_epoch_replay_is_idempotent(spark, tmp_path):
     assert rows == {(1, "r", 2, "u", 0), (3, "r", 4, "u", 1)}
 
 
+def test_hot_cluster_candidates_linear(spark):
+    """r3 verdict item 1 (the one real scale bug): a 1,000-copy
+    exact-duplicate cluster — the boilerplate-page shape of real web
+    data — must flow through the dedup pipeline LINEARLY in cluster
+    size.  Collapse-first sends ONE representative into the LSH
+    candidate join (no m² bucket blow-up), and the component edges are
+    the m−1 star edges, never the m(m−1)/2 clique."""
+    from knowledgeextraction_spark.operators.dedup import (
+        collapse_exact,
+        lsh_candidate_pairs,
+    )
+
+    m = 1000
+    cluster = [
+        (i, "hot boilerplate page repeated verbatim across the whole web")
+        for i in range(m)
+    ]
+    others = [
+        (m + i, f"unique document number {i} with entirely distinct words here")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(cluster + others, "doc_id long, text string")
+
+    reps, members = collapse_exact(docs)
+    assert reps.count() == 6  # 1 cluster representative + 5 unique docs
+    assert members.count() == m + 5  # membership is linear, not pairwise
+
+    star = members.filter("doc_id != rep_id")
+    assert star.count() == m - 1  # one CC edge per member, not m(m-1)/2
+    assert star.filter("rep_id != 0").count() == 0  # rep = min(doc_id)
+
+    # the candidate join sees ONE doc from the cluster: intra-cluster
+    # candidates are impossible and the total is bounded by rep pairs
+    cands = lsh_candidate_pairs(reps)
+    assert cands.count() <= 6 * 5 // 2
+    assert cands.filter("doc_a < 1000 AND doc_b < 1000").count() == 0
+
+
+def test_lsh_candidate_max_bucket_caps_near_dup_family(spark):
+    """The second guard: a NEAR-duplicate mega-family (docs sharing
+    band signatures WITHOUT being byte-identical, so collapse-first
+    cannot merge them) is bounded by ``max_bucket`` — oversized
+    buckets are dropped before the self-join instead of emitting
+    |bucket|²/2 candidates."""
+    from knowledgeextraction_spark.operators.dedup import lsh_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    family = [(i, f"{base} variant{i}") for i in range(40)]
+    docs = spark.createDataFrame(family, "doc_id long, text string")
+
+    uncapped = lsh_candidate_pairs(docs, max_bucket=None).count()
+    capped = lsh_candidate_pairs(docs, max_bucket=10).count()
+    # nearly every pair shares the min shingle in some band → quadratic
+    assert uncapped > 40 * 39 // 4
+    # the shared buckets hold all 40 docs → dropped; the unique-suffix
+    # shingles hash to distinct sigs, so no capped-bucket collisions
+    assert capped == 0
+
+
+def test_simhash_near_pairs_guards_incomplete_recall(spark):
+    """Pigeonhole completeness requires max_hamming <= n_bands - 1; a
+    config that silently loses pairs must fail loudly (ADVICE r3)."""
+    import pytest
+
+    from knowledgeextraction_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=5, n_bands=4)
+
+
 def test_embedding_near_dup_lsh_recall_and_plan(spark):
     """The registered dedup_embedding path is LSH-bucketed: on planted
     exact duplicates (cosine 1 → every hyperplane agrees → every band
@@ -440,8 +511,13 @@ def test_embedding_near_dup_lsh_recall_and_plan(spark):
     rows += [(i + 1000, v.tolist()) for i, v in enumerate(vecs) if i % 10 == 0]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
+    # max_bucket deliberately small enough to bite real buckets at this
+    # scale: exact duplicates collide in EVERY band, so they survive as
+    # long as any one of their buckets is under the cap — the recall
+    # assertion below proves the registered query's cap (r3 verdict
+    # item 5) does not drop the planted pairs
     lsh = embedding_near_dups_lsh(
-        emb, threshold=0.9, n_bands=4, bits_per_band=6, dim=16
+        emb, threshold=0.9, n_bands=4, bits_per_band=6, dim=16, max_bucket=8
     )
     got = {(r["vec_a"], r["vec_b"]) for r in lsh.collect()}
     want = {
