@@ -126,6 +126,41 @@ def encode_hidden(input_ids: np.ndarray, weights: dict[str, np.ndarray]) -> np.n
     return np.concatenate([h2, ctx], axis=-1).reshape(b, t, HEAD_DIM)
 
 
+def encode_hidden64(input_ids: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
+    """float64 twin of ``encode_hidden`` for the FIT path (operators/
+    fit.py) and its independent numpy oracle (oracle/fit.py).
+
+    float32 GEMM results vary with batch shape (~1e-7), so a float32
+    distributed fit only matches a single-pass numpy fit to ~1e-3
+    relative weights and ≥0.999 decode agreement — too loose for a
+    round-to-6 golden-parquet oracle on dev accuracy.  In float64 the
+    batch-shape/summation-order noise is ~1e-16, far below any argmax
+    margin, so the distributed fit and the oracle fit land on the SAME
+    accuracy counts.  Per-position arithmetic mirrors the folded-table
+    inference path: h1 via per-slot gathers into the _Folded64 tables
+    (fixed slot order), ctx via emb64 gathers, two tanh layers.
+    Training throughput is Gram-pass-bound, not encode-bound, so the
+    2× float64 GEMM cost is irrelevant at the fit's scale."""
+    f = folded64(weights)
+    b, t = input_ids.shape
+    n = b * t
+    k_slots = 2 * WINDOW + 1
+    idp = np.full((b, t + 2 * WINDOW), f.v, dtype=np.int64)
+    idp[:, WINDOW : WINDOW + t] = input_ids
+    h1 = np.zeros((n, HIDDEN), dtype=np.float64)
+    ctx = np.empty((n, IN_DIM), dtype=np.float64)
+    for k in range(k_slots):
+        ids_k = np.ascontiguousarray(idp[:, k : k + t]).reshape(n)
+        h1 += f.g64[k][ids_k]
+        ctx[:, k * EMB_DIM : (k + 1) * EMB_DIM] = f.emb64[ids_k]
+    h1 += f.b1
+    np.tanh(h1, out=h1)
+    h2 = h1 @ f.w2
+    h2 += f.b2
+    np.tanh(h2, out=h2)
+    return np.concatenate([h2, ctx], axis=1).reshape(b, t, HEAD_DIM)
+
+
 class _FoldedTables:
     """First-layer and residual-projection folding (per-process cache).
 

@@ -26,11 +26,14 @@ executors (``treeReduce``), accepting ±1e-15 combine-order noise —
 below float32 weight resolution, and the parity test passes under a
 forced threshold of 1.
 
-Parity with the single-node fit is approximate, not bit-exact: the
-single-node path encodes every training row in ONE BLAS batch, the
-distributed path in per-partition chunks, and float32 GEMM results vary
-with batch shape (~1e-7 — the known BLAS batch-shape noise documented
-in core/model.py).  tests/test_fit_distributed.py asserts weight
+The fit path encodes in float64 (core/model.py:encode_hidden64), so
+distributed-vs-single-pass noise is only summation order (~1e-15) —
+that is what lets the driver query carry a golden-parquet oracle from
+the independent single-pass numpy fit (oracle/fit.py) with bit-stable
+round-to-6 values.  Parity with the float32 single-node trainer
+(core/model.py:fit_projection, which feeds the committed .artifacts
+weights) remains approximate: float32 GEMM results vary with batch
+shape (~1e-7), so tests/test_fit_distributed.py asserts weight
 agreement at 1e-3 relative and decode agreement on held-out pages.
 
 W8 (best-checkpoint election) is ``fit_select_l2``: fit one model per
@@ -47,7 +50,7 @@ from pyspark.sql import DataFrame
 from ..core.bio import bio_tag
 from ..core.featurize import convert_single_example
 from ..core.labels import NUM_LABELS
-from ..core.model import HEAD_DIM, encode_hidden
+from ..core.model import HEAD_DIM, encode_hidden64
 from ..core.packing import pack_sentences
 from ..core.vocab import build_vocab
 
@@ -80,6 +83,92 @@ def _featurized(rows, vocab):
     return ids_rows, label_rows, mask_rows
 
 
+def weak_label_surfaces() -> tuple[str, dict[str, str]]:
+    """→ (regex pattern, surface → label_type): longest-match-first
+    alternation over the doc-world dictionary surfaces.  Shared by the
+    driver query (queries.q_crf_fit_distributed) and the independent
+    oracle fit (oracle/fit.py) so both weak-label IDENTICALLY —
+    including the dict's last-wins tie-break for surfaces that carry
+    two label types."""
+    import re
+
+    from ..sources import pages as ps
+
+    entities, _ = ps.dictionary()
+    surface_label = sorted(
+        {
+            (s, e.label_type)
+            for e in entities
+            for s in [e.canonical_name, *e.aliases]
+        },
+        key=lambda t: (-len(t[0]), t[0]),  # longest-match-first alternation
+    )
+    pattern = "|".join(re.escape(s) for s, _ in surface_label)
+    return pattern, dict(surface_label)
+
+
+def class_weights_sq(freq: np.ndarray, class_weight_pow: float = 0.3) -> np.ndarray:
+    """Squared per-class sample weights from label frequencies (the
+    single-node fit's class weighting, shared with the numpy oracle)."""
+    sw_raw = (freq.sum() / (freq + 1.0)) ** class_weight_pow
+    return sw_raw / sw_raw.min()
+
+
+def accumulate_gram(
+    ids_rows, label_rows, mask_rows, weights, sw2_class
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy Gram/moment accumulation over featurized rows in
+    ``ENCODE_BATCH`` chunks — the shared kernel of the per-partition
+    closure below AND the independent oracle fit (oracle/fit.py).
+    float64 end to end (encode_hidden64), so accumulation-order noise
+    is ~1e-16 and the distributed and single-pass results agree to
+    golden-oracle precision."""
+    d = HEAD_DIM + 1
+    g = np.zeros((d, d), dtype=np.float64)
+    r = np.zeros((d, NUM_LABELS), dtype=np.float64)
+    for i in range(0, len(ids_rows), ENCODE_BATCH):
+        ids = np.asarray(ids_rows[i : i + ENCODE_BATCH], dtype=np.int64)
+        labels = np.asarray(label_rows[i : i + ENCODE_BATCH])
+        mask = np.asarray(mask_rows[i : i + ENCODE_BATCH]).astype(bool)
+        h = encode_hidden64(ids, weights)
+        x = h[mask]
+        y_idx = labels[mask]
+        xb = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
+        w2 = sw2_class[y_idx][:, None]
+        xw2 = xb * w2
+        g += xb.T @ xw2
+        y = np.zeros((x.shape[0], NUM_LABELS), dtype=np.float64)
+        y[np.arange(x.shape[0]), y_idx] = 10.0
+        r += xw2.T @ y
+    return g, r
+
+
+def solve_ridge(g: np.ndarray, r: np.ndarray, l2: float) -> tuple[np.ndarray, np.ndarray]:
+    """(G, R, λ) → (proj_w float32 [D, C], proj_b float32 [C])."""
+    d = HEAD_DIM + 1
+    sol = np.linalg.solve(g + l2 * np.eye(d), r)
+    return sol[:-1].astype(np.float32), sol[-1].astype(np.float32)
+
+
+def count_correct(
+    ids_rows, label_rows, mask_rows, weights, pw, pb
+) -> tuple[int, int]:
+    """(n_masked_positions, n_correct) under argmax-logit tagging —
+    the shared eval kernel (float64 logits, see accumulate_gram)."""
+    pw = np.asarray(pw, dtype=np.float64)
+    pb = np.asarray(pb, dtype=np.float64)
+    n = correct = 0
+    for i in range(0, len(ids_rows), ENCODE_BATCH):
+        ids = np.asarray(ids_rows[i : i + ENCODE_BATCH], dtype=np.int64)
+        labels = np.asarray(label_rows[i : i + ENCODE_BATCH])
+        mask = np.asarray(mask_rows[i : i + ENCODE_BATCH]).astype(bool)
+        h = encode_hidden64(ids, weights)
+        pred = (h[mask] @ pw + pb).argmax(axis=1)
+        n += pred.shape[0]
+        correct += int((pred == labels[mask]).sum())
+    return n, correct
+
+
 def label_frequencies(records: DataFrame) -> np.ndarray:
     """Pass 1: global masked-position label counts (no model math)."""
     def part(rows):
@@ -107,30 +196,14 @@ def _gram_partials(
     per-partition (idx, G, R) when the partition count is driver-
     collectable, else ONE pre-combined (0, G, R) from an executor-side
     ``treeReduce``."""
-    d = HEAD_DIM + 1
 
     def part(idx, rows):
         vocab = build_vocab()
         weights = weights_bc.value
-        g = np.zeros((d, d), dtype=np.float64)
-        r = np.zeros((d, NUM_LABELS), dtype=np.float64)
         ids_rows, label_rows, mask_rows = _featurized(
             ((row["text"], row["ents"]) for row in rows), vocab
         )
-        for i in range(0, len(ids_rows), ENCODE_BATCH):
-            ids = np.asarray(ids_rows[i : i + ENCODE_BATCH], dtype=np.int64)
-            labels = np.asarray(label_rows[i : i + ENCODE_BATCH])
-            mask = np.asarray(mask_rows[i : i + ENCODE_BATCH]).astype(bool)
-            h = encode_hidden(ids, weights)
-            x = h[mask].astype(np.float64)
-            y_idx = labels[mask]
-            xb = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
-            w2 = sw2_class[y_idx][:, None]
-            xw2 = xb * w2
-            g += xb.T @ xw2
-            y = np.zeros((x.shape[0], NUM_LABELS), dtype=np.float64)
-            y[np.arange(x.shape[0]), y_idx] = 10.0
-            r += xw2.T @ y
+        g, r = accumulate_gram(ids_rows, label_rows, mask_rows, weights, sw2_class)
         yield idx, g, r
 
     rdd = records.select("text", "ents").rdd
@@ -156,8 +229,7 @@ def distributed_ridge_fit(
     twin of core/model.py:fit_projection (same class weighting, same
     target scaling, same regularized solve)."""
     freq = label_frequencies(records) if _freq is None else _freq
-    sw_raw = (freq.sum() / (freq + 1.0)) ** class_weight_pow
-    sw2_class = sw_raw / sw_raw.min()  # (√(sw/sw.min()))² per class
+    sw2_class = class_weights_sq(freq, class_weight_pow)
 
     partials = (
         _gram_partials(records, weights_bc, sw2_class, tree_threshold)
@@ -170,32 +242,25 @@ def distributed_ridge_fit(
     for _idx, gp, rp in sorted(partials, key=lambda t: t[0]):
         g += gp
         r += rp
-    sol = np.linalg.solve(g + l2 * np.eye(d), r)
-    return sol[:-1].astype(np.float32), sol[-1].astype(np.float32)
+    return solve_ridge(g, r, l2)
 
 
 def masked_accuracy(records: DataFrame, weights_bc, proj_w, proj_b) -> float:
     """Dev-split scorer for W8 selection: argmax-logit tag accuracy over
     masked positions (the estimator's eval metric, crf_albert.py:79-87;
     Viterbi is unnecessary for model selection)."""
-    pw = np.asarray(proj_w, dtype=np.float32)
-    pb = np.asarray(proj_b, dtype=np.float32)
+    pw = np.asarray(proj_w)
+    pb = np.asarray(proj_b)
 
     def part(rows):
         vocab = build_vocab()
         weights = weights_bc.value
-        n = correct = 0
         ids_rows, label_rows, mask_rows = _featurized(
             ((row["text"], row["ents"]) for row in rows), vocab
         )
-        for i in range(0, len(ids_rows), ENCODE_BATCH):
-            ids = np.asarray(ids_rows[i : i + ENCODE_BATCH], dtype=np.int64)
-            labels = np.asarray(label_rows[i : i + ENCODE_BATCH])
-            mask = np.asarray(mask_rows[i : i + ENCODE_BATCH]).astype(bool)
-            h = encode_hidden(ids, weights)
-            pred = (h[mask] @ pw + pb).argmax(axis=1)
-            n += pred.shape[0]
-            correct += int((pred == labels[mask]).sum())
+        n, correct = count_correct(
+            ids_rows, label_rows, mask_rows, weights, pw, pb
+        )
         yield np.array([n, correct], dtype=np.int64)
 
     partials = records.select("text", "ents").rdd.mapPartitions(part).collect()
@@ -218,8 +283,7 @@ def fit_select_l2(
     Pass ``freq`` to reuse an already-computed label-frequency pass."""
     if freq is None:
         freq = label_frequencies(train)
-    sw_raw = (freq.sum() / (freq + 1.0)) ** class_weight_pow
-    sw2_class = sw_raw / sw_raw.min()
+    sw2_class = class_weights_sq(freq, class_weight_pow)
     partials = _gram_partials(train, weights_bc, sw2_class)
 
     best = None

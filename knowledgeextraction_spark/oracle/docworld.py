@@ -270,12 +270,15 @@ def compute_golden(sf_dir: str):
     rel_df = pd.DataFrame(
         relations, columns=["url", "rec_id", "pair_id", "predicate", "score"]
     ).astype({"rec_id": "int32", "pair_id": "int64", "score": "float64"})
+    from .fit import crf_fit_frame
+
     return {
         "kg_mentions": m_df,
         "kg_linked": l_df,
         "kg_triples": t_df,
         "mrc_answers": mrc_df,
         "kg_relations_scored": rel_df,
+        "crf_fit": crf_fit_frame(sf_dir),
     }
 
 

@@ -467,26 +467,19 @@ def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gram partials, and the W8 election solves one fit per λ and
     keeps the best dev masked accuracy.  Output: training metadata rows
     (per-label masked-position counts + elected λ + dev accuracy).
-    No SQL oracle (the fit is not SQL-expressible); the correctness
-    gate is tests/test_fit_distributed.py's single-node parity.  Scale:
-    the shuffled payload is #partitions × [930, 930] float64 partials —
-    independent of corpus size."""
+    Oracle: golden parquet from the INDEPENDENT single-pass numpy fit
+    (oracle/fit.py — the kg_mentions pattern); the fit path encodes in
+    float64 (encode_hidden64) precisely so the two fits agree to
+    round-to-6 bit-stability.  tests/test_fit_distributed.py adds the
+    single-node float32 trainer parity gate.  Scale: the shuffled
+    payload is #partitions × [930, 930] float64 partials — independent
+    of corpus size."""
     import re as _re
 
     from .core.labels import LABELS
-    from .operators.fit import TRAIN_SCHEMA, fit_select_l2
+    from .operators.fit import TRAIN_SCHEMA, fit_select_l2, weak_label_surfaces
 
-    entities, _ = pages_src.dictionary()
-    surface_label = sorted(
-        {
-            (s, e.label_type)
-            for e in entities
-            for s in [e.canonical_name, *e.aliases]
-        },
-        key=lambda t: (-len(t[0]), t[0]),  # longest-match-first alternation
-    )
-    pattern = "|".join(_re.escape(s) for s, _ in surface_label)
-    label_of = dict(surface_label)
+    pattern, label_of = weak_label_surfaces()
 
     records = q_kg_records(spark, sf_dir).select("text")
 
@@ -514,17 +507,24 @@ def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # deterministic 80/20 train/dev split on a text hash
-    bucket = F.pmod(F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int"), F.lit(5))
-    train = train_all.filter(bucket != 0)
-    dev = train_all.filter(bucket == 0)
+    try:
+        # deterministic 80/20 train/dev split on a text hash
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int"), F.lit(5)
+        )
+        train = train_all.filter(bucket != 0)
+        dev = train_all.filter(bucket == 0)
 
-    from .operators.fit import label_frequencies
+        from .operators.fit import label_frequencies
 
-    freq = label_frequencies(train)  # one pass, shared with the fit
-    best_l2, best_acc, _pw, _pb, _accs = fit_select_l2(
-        train, dev, weights_broadcast(spark), l2_grid=(1e-3, 1e-2, 1e-1), freq=freq
-    )
+        freq = label_frequencies(train)  # one pass, shared with the fit
+        best_l2, best_acc, _pw, _pb, _accs = fit_select_l2(
+            train, dev, weights_broadcast(spark), l2_grid=(1e-3, 1e-2, 1e-1), freq=freq
+        )
+    finally:
+        # ADVICE r3: don't leave the weak-labeled records cached for the
+        # rest of an oracle-sweep session
+        train_all.unpersist()
     rows = [(f"freq_{lab}", float(freq[i])) for i, lab in enumerate(LABELS)]
     rows += [("best_l2", float(best_l2)), ("dev_masked_accuracy", round(float(best_acc), 6))]
     return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
@@ -1939,8 +1939,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_triples": q_streaming_triples,
     "streaming_sessions": q_streaming_sessions,
     "graph_bucketed_degree": q_graph_bucketed_degree,
-    # distributed training analog (F17/W8) — rows-only driver check; the
-    # real gate is tests/test_fit_distributed.py single-node parity
+    # distributed training analog (F17/W8) — golden-parquet oracle from
+    # the independent single-pass numpy fit (oracle/fit.py), plus
+    # tests/test_fit_distributed.py single-node parity
     "crf_fit_distributed": q_crf_fit_distributed,
     "dirty_json": q_dirty_json,
     # dedup family
@@ -2007,6 +2008,7 @@ ORACLES: dict[str, str] = {
     "kg_triples": sql_golden("kg_triples"),
     "mrc_answers": sql_golden("mrc_answers"),
     "kg_relations_scored": sql_golden("kg_relations_scored"),
+    "crf_fit_distributed": sql_golden("crf_fit"),
     "streaming_triples": sql_golden("kg_triples"),
     "streaming_sessions": sql_streaming_sessions(),
     "graph_bucketed_degree": sql_graph_bucketed_degree(),

@@ -23,7 +23,11 @@ def live_golden():
     return compute_golden(SF_DIR)
 
 
-@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers", "kg_relations_scored"])
+# golden name → driver-query name (only the fit differs)
+QUERY_OF = {"crf_fit": "crf_fit_distributed"}
+
+
+@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers", "kg_relations_scored", "crf_fit"])
 def test_committed_golden_is_fresh(live_golden, name):
     committed = pd.read_parquet(f"{GOLDEN_DIR}/{name}.parquet")
     live = live_golden[name]
@@ -34,11 +38,11 @@ def test_committed_golden_is_fresh(live_golden, name):
     assert a.equals(b), f"{name}: committed golden is stale — regenerate with python -m knowledgeextraction_spark.oracle.docworld {SF_DIR}"
 
 
-@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers", "kg_relations_scored"])
+@pytest.mark.parametrize("name", ["kg_mentions", "kg_linked", "kg_triples", "mrc_answers", "kg_relations_scored", "crf_fit"])
 def test_spark_matches_numpy_golden(spark, live_golden, name):
     import __spark_entry__ as em
 
-    spdf = em.queries()[name](spark, SF_DIR).toPandas()
+    spdf = em.queries()[QUERY_OF.get(name, name)](spark, SF_DIR).toPandas()
     live = live_golden[name]
     cols = sorted(live.columns)
     a = spdf[cols].sort_values(cols).reset_index(drop=True)
