@@ -201,3 +201,56 @@ def classify_relations(pairs: DataFrame, weights_bc) -> DataFrame:
             )
 
     return pairs.mapInPandas(run, RELATION_SCHEMA)
+
+
+def bag_relations(scored: DataFrame, linked: DataFrame) -> DataFrame:
+    """Bag-level (multi-instance) relation aggregation — the engine
+    analog of the reference's ``PCNNAttnNREModel`` wrapping
+    ``opennre.model.BagAttention`` (nremodels/models.py:78, benched in
+    test/albertNRE/run_pcnn_attn.py:44-66): relation evidence is pooled
+    over the BAG of sentences mentioning the same (head, tail) entity
+    pair, not judged per sentence.
+
+    ``scored``: per-sentence pair scores (classify_relations output —
+    url, rec_id, pair_id, predicate, score).  ``linked``: linked
+    mentions (url, rec_id, start_pos, ..., entity_id).  pair_id
+    decomposes back into (h_start, t_start), each joined to its linked
+    mention's entity id; unlinked mentions drop out (no entity → no
+    bag), mirroring how bag construction needs resolved arguments.
+
+    Pooling is the attention shape: weight_i = softmax over the bag of
+    the instance scores, bag_score = Σ softmax(s_i)·s_i — plus the
+    max-pool alternative (``max_score``) and the bag size.  All
+    aggregation is one Catalyst groupBy on the bag key — at scale the
+    bag table shuffles once on (subj, obj, predicate), with map-side
+    partial aggregation of the three running sums; no Python.
+    """
+    import pyspark.sql.functions as F
+
+    h = linked.select(
+        "url",
+        "rec_id",
+        F.col("start_pos").alias("h_start"),
+        F.col("entity_id").alias("subj_id"),
+    )
+    t = linked.select(
+        "url",
+        "rec_id",
+        F.col("start_pos").alias("t_start"),
+        F.col("entity_id").alias("obj_id"),
+    )
+    pairs = scored.withColumn(
+        "h_start", F.floor(F.col("pair_id") / PAIR_ID_BASE).cast("int")
+    ).withColumn("t_start", F.pmod(F.col("pair_id"), F.lit(PAIR_ID_BASE)).cast("int"))
+    return (
+        pairs.join(h, ["url", "rec_id", "h_start"])
+        .join(t, ["url", "rec_id", "t_start"])
+        .groupBy("subj_id", "obj_id", "predicate")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            (
+                F.sum(F.exp("score") * F.col("score")) / F.sum(F.exp("score"))
+            ).alias("bag_score"),
+            F.max("score").alias("max_score"),
+        )
+    )

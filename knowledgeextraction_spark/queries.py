@@ -299,6 +299,57 @@ def q_kg_relations_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_relations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-level (multi-instance) NRE aggregation — the reference's
+    ``BagAttention`` analog (nremodels/models.py:78; bench
+    run_pcnn_attn.py:44-66): per-sentence relation scores pooled over
+    the bag of sentences mentioning the same linked (head, tail)
+    entity pair.  Attention-shaped pooling (softmax-weighted mean of
+    the instance scores) + max-pool + bag size, all in one Catalyst
+    groupBy (operators/nre.py:bag_relations).  Oracle: the same
+    arithmetic in DuckDB over the kg_relations_scored and kg_linked
+    goldens.  (The two model passes here would share one mention table
+    in a production pipeline — the operator takes both inputs as
+    DataFrames precisely so callers can.)"""
+    from .operators.nre import bag_relations
+
+    scored = q_kg_relations_scored(spark, sf_dir)
+    linked = q_kg_linked(spark, sf_dir)
+    return (
+        bag_relations(scored, linked)
+        .withColumn("bag_score", F.round("bag_score", 6))
+        .withColumn("max_score", F.round("max_score", 6))
+        .orderBy("subj_id", "obj_id", "predicate")
+    )
+
+
+def sql_kg_relations_bag() -> str:
+    from .operators.nre import PAIR_ID_BASE
+
+    return f"""
+WITH scored AS ({sql_golden("kg_relations_scored")}),
+linked AS ({sql_golden("kg_linked")}),
+pairs AS (
+  SELECT url, rec_id, predicate, score,
+         CAST(pair_id // {PAIR_ID_BASE} AS INT) AS h_start,
+         CAST(pair_id % {PAIR_ID_BASE} AS INT) AS t_start
+  FROM scored
+),
+j AS (
+  SELECT h.entity_id AS subj_id, t.entity_id AS obj_id, p.predicate, p.score
+  FROM pairs p
+  JOIN linked h ON p.url = h.url AND p.rec_id = h.rec_id AND p.h_start = h.start_pos
+  JOIN linked t ON p.url = t.url AND p.rec_id = t.rec_id AND p.t_start = t.start_pos
+)
+SELECT subj_id, obj_id, predicate,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       round(sum(exp(score) * score) / sum(exp(score)), 6) AS bag_score,
+       round(max(score), 6) AS max_score
+FROM j GROUP BY subj_id, obj_id, predicate
+ORDER BY subj_id, obj_id, predicate
+"""
+
+
 def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 as a driver-gated query: the SAME pages flow through the
     Structured Streaming ingest (streaming/ingest.py — file-drop source,
@@ -1935,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "mrc_answers": q_mrc_answers,
     "kg_relations_scored": q_kg_relations_scored,
+    "kg_relations_bag": q_kg_relations_bag,
     # streaming ingest + bucketed graph sink (golden-gated round trips)
     "streaming_triples": q_streaming_triples,
     "streaming_sessions": q_streaming_sessions,
@@ -2008,6 +2060,7 @@ ORACLES: dict[str, str] = {
     "kg_triples": sql_golden("kg_triples"),
     "mrc_answers": sql_golden("mrc_answers"),
     "kg_relations_scored": sql_golden("kg_relations_scored"),
+    "kg_relations_bag": sql_kg_relations_bag(),
     "crf_fit_distributed": sql_golden("crf_fit"),
     "streaming_triples": sql_golden("kg_triples"),
     "streaming_sessions": sql_streaming_sessions(),

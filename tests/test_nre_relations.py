@@ -145,3 +145,48 @@ def test_classify_pairs_extreme_margin_no_overflow():
         pred, prob = classify_pairs(feats, w)
     labels = nre_relation_labels()
     assert labels[pred[0]] == "NA" and prob[0] == 1.0
+
+
+def test_bag_relations_pooling_arithmetic(spark):
+    """bag_relations pools per-sentence scores per linked (head, tail)
+    pair: softmax-attention mean + max + count, hand-computed here on a
+    two-sentence bag plus a singleton; a pair with an unlinked mention
+    contributes nothing (inner join on entity resolution)."""
+    import math
+
+    from knowledgeextraction_spark.operators.nre import PAIR_ID_BASE, bag_relations
+
+    scored = spark.createDataFrame(
+        [
+            # bag (e1, e2): two sentences, scores 0.9 / 0.5
+            ("u1", 0, 3 * PAIR_ID_BASE + 9, "rel_a", 0.9),
+            ("u2", 0, 5 * PAIR_ID_BASE + 11, "rel_a", 0.5),
+            # singleton bag (e1, e3)
+            ("u1", 0, 3 * PAIR_ID_BASE + 20, "rel_b", 0.7),
+            # tail mention at pos 30 is unlinked → dropped
+            ("u1", 0, 3 * PAIR_ID_BASE + 30, "rel_a", 0.4),
+        ],
+        "url string, rec_id int, pair_id long, predicate string, score double",
+    )
+    linked = spark.createDataFrame(
+        [
+            ("u1", 0, 3, 100), ("u1", 0, 9, 200), ("u1", 0, 20, 300),
+            ("u2", 0, 5, 100), ("u2", 0, 11, 200),
+        ],
+        "url string, rec_id int, start_pos int, entity_id long",
+    )
+    rows = {
+        (r.subj_id, r.obj_id, r.predicate): r
+        for r in bag_relations(scored, linked).collect()
+    }
+    assert set(rows) == {(100, 200, "rel_a"), (100, 300, "rel_b")}
+
+    big = rows[(100, 200, "rel_a")]
+    w = [math.exp(0.9), math.exp(0.5)]
+    want = (w[0] * 0.9 + w[1] * 0.5) / sum(w)
+    assert big.n_sentences == 2
+    assert abs(big.bag_score - want) < 1e-12
+    assert abs(big.max_score - 0.9) < 1e-12
+
+    solo = rows[(100, 300, "rel_b")]
+    assert solo.n_sentences == 1 and abs(solo.bag_score - 0.7) < 1e-12
