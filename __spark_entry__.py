@@ -5,10 +5,12 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Implementation lives in ``knowledgeextraction_spark.queries``; the
-model-based KG stages (kg_mentions/kg_linked/kg_triples) have no SQL
-oracle — their exact-parity gate is tests/test_spark_pipeline.py
-against the single-node numpy oracle.
+Implementation lives in ``knowledgeextraction_spark.queries``; every
+registered query carries an oracle — closed-form DuckDB SQL where the
+semantics are SQL-expressible, committed golden parquet from the
+independent single-node numpy oracle (``oracle/``) for the model-based
+stages and the distributed fit, with exact-parity pytest gates behind
+both (tests/test_spark_pipeline.py, tests/test_docworld_golden.py).
 """
 
 from __future__ import annotations

@@ -158,9 +158,13 @@ def lsh_candidate_pairs(
     ``max_bucket=None`` for the uncapped test/oracle formulation."""
     sig = minhash_signatures(docs, n_bands, shingles=shingles)
     if max_bucket is not None:
-        sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
-        keep = sizes.filter(F.col("n") <= max_bucket).select("band", "sig")
-        sig = sig.join(keep, ["band", "sig"])
+        # window count, not groupBy+join: the (band, sig) exchange it
+        # introduces is exactly the partitioning the self-join below
+        # needs, so the cap costs no extra shuffle of the sig table
+        w = Window.partitionBy("band", "sig")
+        sig = sig.withColumn("n", F.count("*").over(w)).filter(
+            F.col("n") <= max_bucket
+        ).drop("n")
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -304,9 +308,12 @@ def simhash_near_pairs(
         "doc_id", "simhash", F.explode(band_structs).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
     if max_bucket is not None:
-        sizes = keys.groupBy("band", "bval").agg(F.count("*").alias("n"))
-        keep = sizes.filter(F.col("n") <= max_bucket).select("band", "bval")
-        keys = keys.join(keep, ["band", "bval"])
+        # same window-cap shape as lsh_candidate_pairs: the (band, bval)
+        # exchange doubles as the self-join partitioning
+        wn = Window.partitionBy("band", "bval")
+        keys = keys.withColumn("n", F.count("*").over(wn)).filter(
+            F.col("n") <= max_bucket
+        ).drop("n")
 
     a = keys.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval"
@@ -354,9 +361,13 @@ def embedding_near_dups_lsh(
         embeddings.select("vec_id", "embedding"), planes, n_bands, bits_per_band
     ).select("vec_id", "band", "bucket")
     if max_bucket is not None:
-        sizes = keys.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-        keep = sizes.filter(F.col("n") <= max_bucket).select("band", "bucket")
-        keys = keys.join(keep, ["band", "bucket"])
+        # window count, not groupBy+join: one (band, bucket) exchange
+        # that the candidate self-join below reuses, instead of an
+        # extra aggregate + join that recomputes the keying UDF
+        w = Window.partitionBy("band", "bucket")
+        keys = keys.withColumn("n", F.count("*").over(w)).filter(
+            F.col("n") <= max_bucket
+        ).drop("n")
 
     cand = (
         keys.alias("a")

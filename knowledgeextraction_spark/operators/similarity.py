@@ -133,11 +133,18 @@ def train_ivf_centroids(
 ) -> list[list[float]]:
     """Coarse-quantizer training: seeded k-means on a driver-side sample
     (the standard IVF recipe — the quantizer trains on a bounded sample
-    regardless of corpus size; assignment stays distributed)."""
+    regardless of corpus size; assignment stays distributed).
+
+    The sample is the ``sample`` LOWEST vec_ids, not a bare limit(): an
+    unordered limit takes whatever partitions answer first, so the
+    trained centroids would vary across runs/partitionings despite the
+    seeded rng (ADVICE r3).  orderBy+limit compiles to TakeOrdered —
+    a per-partition top-K then one K-row merge, no global sort."""
     import numpy as np
 
     rows = (
-        embeddings.select("embedding")
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
         .limit(sample)
         .toPandas()["embedding"]
         .tolist()

@@ -151,7 +151,8 @@ scenario the salted path exists for), min-of-{REPEATS} per row.
 
 Reading: the hot key makes the naive join a single-straggler plan
 (~{int(HOT_FRACTION*100)}% of probe work on one of 8 cores); balancing
-it buys ~1.3× here rather than the naive-count prediction because the
+it buys {t_naive / t_salted:.2f}× (salted) / {t_naive / t_aqe:.2f}×
+(AQE) here rather than the naive-count prediction because the
 balanced plan immediately hits this VM's ~8-core memory-bandwidth
 ceiling (BENCH/BASELINE.md) — on a real cluster the straggler's
 stage-wall dominance grows with data volume.  AQE's
