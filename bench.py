@@ -383,7 +383,8 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
                 "Below the ceiling the pipeline scales near-linearly, which is\n"
                 "the property the north rule probes.  Session history of this\n"
                 "measurement: r1 0.932 / 0.855, r2 0.815 / 1.092 per-session\n"
-                "(0.926 on best walls across 6 trials), r3 0.903 — the spread is\n"
+                "(0.926 on best walls across 6 trials), r3 0.903, r4 0.972 — the\n"
+                "spread is\n"
                 "hypervisor-steal noise; every session clears the 0.8 bar.\n\n"
                 "Reproduce: `python bench.py --scaling --write-md`\n"
                 "(SPARKKG_SCALE_LOW/HIGH/REPEATS override the 2/8/3 defaults).\n"

@@ -23,6 +23,7 @@ AUDIT = [
     "kg_mentions",
     "mrc_answers",
     "kg_relations_scored",
+    "kg_relations_bag",
     "streaming_triples",
     "streaming_sessions",
     "graph_bucketed_degree",
@@ -74,6 +75,11 @@ Commentary (what the counts mean for the 100 TB plan):
   the 8-row entity-type table against pages (BroadcastNestedLoopJoin on
   an 8-row side — intentional example fan-out, not a join bug); the
   n-best assembly windows share one hash exchange on the example key.
+- **kg_relations_bag**: the bag pooling itself is ONE hash exchange on
+  the (subj, obj, predicate) bag key with map-side partial aggregation
+  of the three running sums; the rest of the count is the upstream
+  kg_relations_scored + kg_linked model stages it is built on (the
+  entity joins broadcast the linked-mention side per record key).
 - **streaming_triples**: the audited plan is the read-back scan of the
   streamed sink (ordered) — the per-epoch pages→triples plan inside
   `foreachBatch` is the kg_triples narrow plan.
@@ -86,7 +92,11 @@ Commentary (what the counts mean for the 100 TB plan):
   exchange is the output orderBy.
 - **dedup family**: groupBys on hash keys (uniform, skewless); minhash
   and simhash are single-aggregation plans (the 8×/60× row explosions
-  of round 1 are gone).  `dedup_jaccard`'s count includes BOTH the
+  of round 1 are gone).  Candidate generation is cluster-linear: exact
+  duplicates collapse to one representative before shingling (window
+  min on the content hash), and the per-bucket `MAX_BUCKET` cap is a
+  window count over the same (band, key) exchange the candidate
+  self-join needs — no extra shuffle.  `dedup_jaccard`'s count includes BOTH the
   LSH-candidate branch and the verify branch over the shared persisted
   shingle table.  `dedup_embedding` is the LSH-bucketed path (round-2
   verdict item 5): zero cartesian nodes — candidates come from the
