@@ -38,6 +38,7 @@ HEADLINE = [
     "kg_mentions",
     "mrc_answers",
     "kg_relations_scored",
+    "kg_relations_bag",
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_embedding",

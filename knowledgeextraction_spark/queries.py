@@ -308,13 +308,34 @@ def q_kg_relations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the instance scores) + max-pool + bag size, all in one Catalyst
     groupBy (operators/nre.py:bag_relations).  Oracle: the same
     arithmetic in DuckDB over the kg_relations_scored and kg_linked
-    goldens.  (The two model passes here would share one mention table
-    in a production pipeline — the operator takes both inputs as
-    DataFrames precisely so callers can.)"""
-    from .operators.nre import bag_relations
+    goldens.  ONE detection pass feeds both inputs: the fused
+    records+mentions table is persisted and branches into (a) pair
+    scoring and (b) mention linking — the encoder never runs twice
+    (fused/granular mention parity is pytest-asserted, so the linked
+    branch equals the kg_linked golden)."""
+    from pyspark import StorageLevel
 
-    scored = q_kg_relations_scored(spark, sf_dir)
-    linked = q_kg_linked(spark, sf_dir)
+    from .broadcast import nre_weights_broadcast
+    from .operators.detect import detect_records_from_pages
+    from .operators.link import link_mentions
+    from .operators.nre import bag_relations, classify_relations, mention_pairs
+
+    par = spark.sparkContext.defaultParallelism
+    zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
+    rm = detect_records_from_pages(
+        zh.repartition(par), weights_broadcast(spark)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = classify_relations(
+        mention_pairs(rm), nre_weights_broadcast(spark)
+    ).withColumn("score", F.round("score", 6))
+    mentions = rm.select("url", "rec_id", F.explode("mentions").alias("m")).select(
+        "url",
+        "rec_id",
+        F.col("m.start_pos").alias("start_pos"),
+        F.col("m.label_type").alias("label_type"),
+        F.col("m.surface").alias("surface"),
+    )
+    linked = link_mentions(mentions, pages_src.entities_df(spark))
     return (
         bag_relations(scored, linked)
         .withColumn("bag_score", F.round("bag_score", 6))
