@@ -477,7 +477,8 @@ def update_baseline_md() -> None:
         "| [NORTH] throughput metric | triples/sec — **achieved: "
         f"{b['triples_per_sec']} triples/s on the sf{b['sf']} kg_triples headline "
         f"query ({b['n_triples']} triples / {b['queries']['kg_triples']}s, {tag}, "
-        f"min-of-2, incl. dimension prep); headline total {b['value']}s over "
+        f"{b.get('timing', 'min_of_n').replace('_', '-')}, incl. dimension prep); "
+        f"headline total {b['value']}s over "
         f"{len(b['queries'])} queries at {b['cpus']} cores** "
         "| `python bench.py`; this row is stamped from the newest BENCH_r*.json "
         "by `python bench.py --write-md` | `BASELINE.json` metric |"

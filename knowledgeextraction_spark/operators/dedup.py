@@ -344,7 +344,9 @@ def embedding_near_dups_lsh(
     at test scale; round-2 verdict flagged the crossJoin as the
     registered entry).
 
-    Vectors shuffle once on their (band, bucket) key; candidates are
+    Exact-duplicate vectors collapse to one representative BEFORE
+    keying (star edges re-expand them, see below); the surviving
+    vectors shuffle once on their (band, bucket) key; candidates are
     same-bucket pairs only, deduped across bands before the single
     cosine each pays — never an all-pairs join.  For true duplicates
     (cosine → 1) every hyperplane agrees, so every band collides and
@@ -356,10 +358,30 @@ def embedding_near_dups_lsh(
     """
     from .similarity import _cosine, lsh_band_keys, make_planes
 
+    # collapse exact-duplicate VECTORS first, same pipeline order as the
+    # text dedup family: an identical-embedding cluster larger than
+    # ``max_bucket`` fills every one of its (band, bucket) cells past
+    # the cap in ALL bands at once, so without the collapse the cap
+    # would silently drop the whole cluster — the exact boilerplate
+    # shape dedup exists to catch.  Window on the embedding value
+    # itself (both engines group on exact doubles — no string
+    # formatting), star edges (rep → member, cosine 1 by definition)
+    # re-expand the verdict linearly in cluster size.
+    w = Window.partitionBy("embedding")
+    m = embeddings.select("vec_id", "embedding").withColumn(
+        "rep_id", F.min("vec_id").over(w)
+    )
+    reps = m.filter(F.col("vec_id") == F.col("rep_id")).drop("rep_id")
+    star = m.filter(F.col("vec_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.lit(1.0).alias("cosine"),
+    )
+
     planes = make_planes(dim, n_bands * bits_per_band, seed)
-    keys = lsh_band_keys(
-        embeddings.select("vec_id", "embedding"), planes, n_bands, bits_per_band
-    ).select("vec_id", "band", "bucket")
+    keys = lsh_band_keys(reps, planes, n_bands, bits_per_band).select(
+        "vec_id", "band", "bucket"
+    )
     if max_bucket is not None:
         # window count, not groupBy+join: one (band, bucket) exchange
         # that the candidate self-join below reuses, instead of an
@@ -378,15 +400,19 @@ def embedding_near_dups_lsh(
         )
         .distinct()
     )
-    e_a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    e_b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
-    return (
+    e_a = reps.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    e_b = reps.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    near = (
         cand.join(e_a, "vec_a")
         .join(e_b, "vec_b")
         .withColumn("cosine", _cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+    # threshold ≤ 1 always admits the exact-dup star edges; a member's
+    # near-dups beyond its own cluster are reachable through its rep
+    # (the same transitive-component contract as dedup_keep)
+    return near.unionByName(star)
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:

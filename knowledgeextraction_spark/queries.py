@@ -322,6 +322,11 @@ def q_kg_relations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
+    # persisted for the two consumers below; unlike crf_fit (which
+    # materializes internally and can unpersist in-query) the result
+    # here is lazy, so the cache lives until the caller's
+    # clearCache()/session end — same contract as dedup_jaccard's
+    # shared shingle table
     rm = detect_records_from_pages(
         zh.repartition(par), weights_broadcast(spark)
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -757,12 +762,18 @@ GROUP BY doc_id, band ORDER BY doc_id, band
 # collapses exact duplicates BEFORE shingling/minhash, so a cluster of
 # m identical pages contributes 1 doc to the candidate join, not m docs
 # sharing every band bucket (r3 verdict #1: the m² candidate blow-up)
+# the ONE normalized-content rep window (shared by _REPS_SQL and
+# sql_dedup_keep's memb CTE so the normalization convention cannot
+# silently diverge between the candidate stage and the exact edges)
+_REP_WINDOW_SQL = (
+    "min(doc_id) OVER ("
+    "PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    ") AS rep_id"
+)
+
 _REPS_SQL = f"""(
   SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           min(doc_id) OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-           ) AS rep_id
+    SELECT doc_id, text, {_REP_WINDOW_SQL}
     FROM {_DOCS_REPL_SQL} d
   ) r WHERE doc_id = rep_id
 )"""
@@ -978,10 +989,7 @@ near AS (
   WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 ),
 memb AS (
-  SELECT doc_id,
-         min(doc_id) OVER (
-           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-         ) AS rep_id
+  SELECT doc_id, {_REP_WINDOW_SQL}
   FROM {_DOCS_REPL_SQL} d
 ),
 exact AS (
@@ -1074,10 +1082,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     # max_bucket: the registered production entry ships its own skew
-    # guard (r3 verdict item 5) — exact duplicates collide in EVERY
-    # band, so they survive the cap as long as any one of their 8
-    # buckets is under it; the recall test asserts the planted pairs
-    # are not dropped
+    # guard (r3 verdict item 5).  Exact-duplicate vectors collapse to
+    # one representative inside the operator (star edges re-expand
+    # them), so the cap can only bite genuine near-dup mega-buckets —
+    # an identical-vector cluster bigger than the cap is NOT dropped;
+    # the recall test asserts the planted pairs survive
     return (
         dedup.embedding_near_dups_lsh(
             emb,
@@ -1096,9 +1105,19 @@ def sql_dedup_embedding() -> str:
     bucket_case = _lsh_bucket_case(64, _LSH_BANDS, _LSH_BITS)
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM {_EMB_REPL_SQL}),
+memb AS (
+  SELECT vec_id, embedding,
+         min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+  FROM emb
+),
+reps AS (SELECT vec_id, embedding FROM memb WHERE vec_id = rep_id),
+star AS (
+  SELECT rep_id AS vec_a, vec_id AS vec_b, 1.0::DOUBLE AS cosine
+  FROM memb WHERE vec_id <> rep_id
+),
 keys AS (
   SELECT vec_id, band, {bucket_case} AS bucket
-  FROM emb CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS band) b
+  FROM reps CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS band) b
 ),
 ksize AS (SELECT band, bucket, count(*) AS n FROM keys GROUP BY band, bucket),
 keysc AS (
@@ -1115,11 +1134,13 @@ scored AS (
          list_dot_product(a.embedding, b.embedding) /
          (sqrt(list_dot_product(a.embedding, a.embedding)) *
           sqrt(list_dot_product(b.embedding, b.embedding))) AS cosine
-  FROM cand JOIN emb a ON a.vec_id = vec_a
-            JOIN emb b ON b.vec_id = vec_b
+  FROM cand JOIN reps a ON a.vec_id = vec_a
+            JOIN reps b ON b.vec_id = vec_b
 )
-SELECT vec_a, vec_b, round(cosine, 6) AS cosine
-FROM scored WHERE cosine >= 0.9 ORDER BY vec_a, vec_b
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+  SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.9
+  UNION ALL SELECT vec_a, vec_b, cosine FROM star
+) u ORDER BY vec_a, vec_b
 """
 
 

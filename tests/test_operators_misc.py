@@ -493,6 +493,35 @@ def test_simhash_near_pairs_guards_incomplete_recall(spark):
         simhash_near_pairs(docs, max_hamming=5, n_bands=4)
 
 
+def test_embedding_exact_cluster_survives_bucket_cap(spark):
+    """An identical-embedding cluster LARGER than max_bucket must not
+    be silently dropped by the cap: such a cluster fills its bucket
+    past the cap in EVERY band at once, so without collapse-first the
+    cap would erase exactly the boilerplate-shaped clusters dedup
+    exists to find.  Exact dups collapse to one representative before
+    keying and re-expand as star edges (rep → member, cosine 1) —
+    linear in cluster size, never the m² clique."""
+    from knowledgeextraction_spark.operators.dedup import embedding_near_dups_lsh
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(16).tolist()
+    cluster = [(i, v) for i in range(30)]  # 30 identical vectors, cap 8
+    others = [(100 + i, rng.standard_normal(16).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(
+        cluster + others, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_near_dups_lsh(
+            emb, threshold=0.9, n_bands=4, bits_per_band=4, dim=16, max_bucket=8
+        ).collect()
+    }
+    star = {(0, i, 1.0) for i in range(1, 30)}
+    assert star <= got  # the whole cluster survives the cap via its rep
+    intra = [g for g in got if g[0] < 30 and g[1] < 30]
+    assert len(intra) == 29  # exactly the star — no m(m-1)/2 clique
+
+
 def test_embedding_near_dup_lsh_recall_and_plan(spark):
     """The registered dedup_embedding path is LSH-bucketed: on planted
     exact duplicates (cosine 1 → every hyperplane agrees → every band
