@@ -62,18 +62,28 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def exact_members(docs: DataFrame) -> DataFrame:
-    """→ docs + (content_hash, rep_id): every doc mapped to the min
+    """→ (doc_id, content_hash, rep_id): every doc mapped to the min
     doc_id of its exact-content group (rep_id == doc_id ⇔ this doc is
-    the group's representative).  One shuffle (window on the content
-    hash); hash keys are uniform so the exchange is skewless even when
-    a single boilerplate page has millions of copies — the quadratic
-    danger is downstream pair enumeration, which callers avoid by
-    running near-dup candidate generation on representatives only
-    (``collapse_exact``) and emitting STAR edges (member → rep), never
-    member × member cliques."""
-    w = Window.partitionBy("content_hash")
-    return docs.withColumn("content_hash", F.md5(normalized_text())).withColumn(
-        "rep_id", F.min("doc_id").over(w)
+    the group's representative).
+
+    Shape chosen for the hot-cluster case (one boilerplate page with
+    millions of copies): the rep map is a groupBy on the content hash
+    — map-side combinable, so a mega-cluster reduces to one row per
+    map task before the shuffle — and membership is a JOIN back on the
+    hash, which AQE's skew-join can split at runtime.  A window
+    (min over partitionBy(content_hash)) would instead force the whole
+    cluster into ONE task — windows are not skew-splittable — which is
+    a straggler/OOM at exactly the cluster sizes this pipeline order
+    exists for.  The quadratic danger downstream is pair enumeration,
+    which callers avoid by running near-dup candidate generation on
+    representatives only (``collapse_exact``) and emitting STAR edges
+    (member → rep), never member × member cliques."""
+    hashed = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+    rep_map = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("rep_id"))
+    return hashed.join(rep_map, "content_hash").select(
+        "doc_id", "content_hash", "rep_id"
     )
 
 
@@ -83,12 +93,14 @@ def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     an exact-duplicate cluster of m docs contributes ONE doc to the
     near-dup candidate join instead of m docs sharing every band bucket
     (which would emit ~m²·bands/2 candidates).  ``reps`` has the
-    original doc columns (representatives only); ``members`` is
-    (doc_id, rep_id) for re-expanding verdicts at the end."""
+    original doc columns (representatives only — recovered through a
+    skewless join on the unique doc_id); ``members`` is (doc_id,
+    rep_id) for re-expanding verdicts at the end."""
     m = exact_members(docs)
-    reps = m.filter(F.col("doc_id") == F.col("rep_id")).drop(
-        "content_hash", "rep_id"
+    rep_ids = (
+        m.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
     )
+    reps = docs.join(rep_ids, "doc_id")
     return reps, m.select("doc_id", "rep_id")
 
 
@@ -363,15 +375,18 @@ def embedding_near_dups_lsh(
     # ``max_bucket`` fills every one of its (band, bucket) cells past
     # the cap in ALL bands at once, so without the collapse the cap
     # would silently drop the whole cluster — the exact boilerplate
-    # shape dedup exists to catch.  Window on the embedding value
-    # itself (both engines group on exact doubles — no string
-    # formatting), star edges (rep → member, cosine 1 by definition)
-    # re-expand the verdict linearly in cluster size.
-    w = Window.partitionBy("embedding")
-    m = embeddings.select("vec_id", "embedding").withColumn(
-        "rep_id", F.min("vec_id").over(w)
+    # shape dedup exists to catch.  The rep map is a map-side-
+    # combinable groupBy on the embedding VALUE (both engines group on
+    # exact doubles — no string formatting) and membership a join AQE
+    # can skew-split — never a window, which would force a mega-cluster
+    # into one task (see exact_members).  Star edges (rep → member,
+    # cosine 1 by definition) re-expand the verdict linearly.
+    e = embeddings.select("vec_id", "embedding")
+    rep_map = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    m = e.join(rep_map, "embedding")
+    reps = m.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", "embedding"
     )
-    reps = m.filter(F.col("vec_id") == F.col("rep_id")).drop("rep_id")
     star = m.filter(F.col("vec_id") != F.col("rep_id")).select(
         F.col("rep_id").alias("vec_a"),
         F.col("vec_id").alias("vec_b"),
