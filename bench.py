@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_embedding",
+    "corpus_clean",
     "similarity_topk",
     "multimodal_features",
     "text_stats",

@@ -536,6 +536,110 @@ FROM nodes n LEFT JOIN deg d USING (entity_id) ORDER BY entity_id
 """
 
 
+def _triple_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed (src, dst) entity edges from the live triple
+    pipeline, self-loops dropped — the graph the analytics run on."""
+    t = q_kg_triples(spark, sf_dir)
+    return (
+        t.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = (
+    "(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM t "
+    "WHERE subj_id <> obj_id)"
+)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference graph analytics: damped PageRank over the
+    entity graph the pipeline just built (operators/graph.py — fixed
+    10-iteration iterative DataFrame joins, lineage cut per round,
+    per-round 10-dp rank quantization for engine-portable values).
+    Oracle: the identical unrolled iteration over the golden kg_triples
+    parquet."""
+    from .operators import graph
+
+    pr = graph.pagerank(_triple_edges(spark, sf_dir))
+    return (
+        pr.select(
+            F.col("id").alias("entity_id"), F.round("rank", 6).alias("rank")
+        ).orderBy("entity_id")
+    )
+
+
+def sql_graph_pagerank() -> str:
+    from .operators import graph
+
+    d = graph.PR_DAMPING
+    dp = graph.PR_ROUND_DP
+    one_minus_d = repr(1.0 - d)
+    iters = "".join(
+        f""",
+pr{k + 1} AS (
+  SELECT n.id,
+         round({one_minus_d} / (SELECT n FROM nn)
+               + {d!r} * coalesce(c.s, 0.0), {dp}) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / o.deg) AS s
+    FROM edges e JOIN pr{k} p ON e.src = p.id
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id
+)"""
+        for k in range(graph.PR_ITERS)
+    )
+    return f"""
+WITH t AS ({sql_golden("kg_triples")}),
+edges AS (SELECT * FROM {_EDGES_SQL}),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), {dp}) AS rank FROM nodes){iters}
+SELECT id AS entity_id, round(rank, 6) AS rank
+FROM pr{graph.PR_ITERS} ORDER BY entity_id
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation over the (undirected) entity
+    graph — operators/graph.py:triangle_count, the oriented-edge join
+    formulation.  Oracle: same three-way join over the golden
+    kg_triples parquet."""
+    from .operators import graph
+
+    return (
+        graph.triangle_count(_triple_edges(spark, sf_dir))
+        .select(F.col("id").alias("entity_id"), "triangles")
+        .orderBy("entity_id")
+    )
+
+
+def sql_graph_triangles() -> str:
+    return f"""
+WITH t AS ({sql_golden("kg_triples")}),
+dedges AS (SELECT * FROM {_EDGES_SQL}),
+und AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+fwd AS (SELECT src, dst FROM und WHERE src < dst),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM fwd ab JOIN fwd bc ON ab.dst = bc.src
+  JOIN fwd ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+per AS (
+  SELECT id, count(*) AS triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+),
+nodes AS (SELECT src AS id FROM und)
+SELECT DISTINCT n.id AS entity_id,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN per p USING (id) ORDER BY entity_id
+"""
+
+
 def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/W8 analog as a driver query: distributed closed-form training
     of the CRF projection (operators/fit.py) on weak dictionary
@@ -909,18 +1013,10 @@ _EMB_REPL_SQL = (
 )
 
 
-def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup DECISION — what a training-data pipeline actually
-    ships: exact-dup STAR edges (member → its content-hash rep, linear
-    in cluster size) ∪ near-dup (Jaccard ≥ 0.5) pairs over exact-dup
-    representatives become equivalence edges, connected components (the
-    M10 operator reused on doc ids) give each duplicate cluster a
-    stable id = min member, and every document gets a keep/drop verdict
-    (keep ⇔ it is its cluster's representative).  Components are
-    transitive on purpose: A≈B≈C collapses to one kept doc even when
-    A,C never pair directly.  Scale: the edge set is
-    |members| + |near pairs| (≪ |docs|²), so the CC cost is linear in
-    duplicate mass — never quadratic in a cluster's size."""
+def _dedup_keep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, component_id, keep) over documents∪replicas —
+    the shared core of q_dedup_keep and q_corpus_clean (same edges,
+    same components, same verdict)."""
     from pyspark import StorageLevel
 
     from .operators.canonicalize import connected_components
@@ -956,11 +1052,27 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component_id"),
             (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
-def sql_dedup_keep() -> str:
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION — what a training-data pipeline actually
+    ships: exact-dup STAR edges (member → its content-hash rep, linear
+    in cluster size) ∪ near-dup (Jaccard ≥ 0.5) pairs over exact-dup
+    representatives become equivalence edges, connected components (the
+    M10 operator reused on doc ids) give each duplicate cluster a
+    stable id = min member, and every document gets a keep/drop verdict
+    (keep ⇔ it is its cluster's representative).  Components are
+    transitive on purpose: A≈B≈C collapses to one kept doc even when
+    A,C never pair directly.  Scale: the edge set is
+    |members| + |near pairs| (≪ |docs|²), so the CC cost is linear in
+    duplicate mass — never quadratic in a cluster's size."""
+    return _dedup_keep_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _dedup_keep_ctes() -> str:
+    """The shared CTE chain ending in ``comp(id, component)`` — the
+    oracle core reused by sql_dedup_keep and sql_corpus_clean."""
     sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_REPS_SQL)
     return f"""
 WITH RECURSIVE sh AS ({sh}),
@@ -1006,12 +1118,83 @@ reach(a, b) AS (
   UNION
   SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
 ),
-comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)"""
+
+
+def sql_dedup_keep() -> str:
+    return f"""{_dedup_keep_ctes()}
 SELECT d.doc_id,
        CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component_id,
        d.doc_id = coalesce(c.component, d.doc_id) AS keep
 FROM {_DOCS_REPL_SQL} d LEFT JOIN comp c ON d.doc_id = c.id
 ORDER BY d.doc_id
+"""
+
+
+# corpus_clean gates — tuned to the synthetic corpus's quality range
+# (0.82–1.0 at sf0.01) so BOTH verdict branches are exercised at test
+# scale; a production pipeline tunes these to its corpus the same way
+CLEAN_QUALITY_MIN = 0.88
+CLEAN_MIN_WORDS = 20
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning verdict a training-data pipeline
+    ships: dedup (exact star edges ∪ LSH-verified near pairs → connected
+    components → keep the cluster representative) composed with the
+    quality gates (text_stats composite score + minimum length) into
+    one per-document row: keep/drop + the first drop reason
+    (duplicate ≻ too_short ≻ low_quality).
+
+    Scale shape: the dedup branch is _dedup_keep_frame (edge set linear
+    in duplicate mass); the stats branch is pure narrow Catalyst; the
+    final join is doc_id ⋈ doc_id — both sides already shuffled on the
+    unique key, no skew.  At 100 TB this is the query whose output
+    feeds the tokenizer."""
+    verdict = _dedup_keep_frame(spark, sf_dir)
+    stats = textstats.text_stats(_docs_with_replicas(spark, sf_dir)).select(
+        "doc_id", "n_words", "quality"
+    )
+    reason = (
+        F.when(~F.col("dedup_keep"), "duplicate")
+        .when(F.col("n_words") < CLEAN_MIN_WORDS, "too_short")
+        .when(F.col("quality") < CLEAN_QUALITY_MIN, "low_quality")
+    )
+    return (
+        verdict.withColumnRenamed("keep", "dedup_keep")
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "n_words",
+            "quality",
+            reason.alias("drop_reason"),
+            reason.isNull().alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_corpus_clean() -> str:
+    return f"""{_dedup_keep_ctes()},
+stats AS ({_text_stats_sql(_DOCS_REPL_SQL)}),
+verdict AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component_id,
+         d.doc_id = coalesce(c.component, d.doc_id) AS dedup_keep
+  FROM {_DOCS_REPL_SQL} d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT v.doc_id, v.component_id, s.n_words, s.quality,
+       CASE WHEN NOT v.dedup_keep THEN 'duplicate'
+            WHEN s.n_words < {CLEAN_MIN_WORDS} THEN 'too_short'
+            WHEN s.quality < {CLEAN_QUALITY_MIN} THEN 'low_quality'
+       END AS drop_reason,
+       CASE WHEN NOT v.dedup_keep THEN FALSE
+            WHEN s.n_words < {CLEAN_MIN_WORDS} THEN FALSE
+            WHEN s.quality < {CLEAN_QUALITY_MIN} THEN FALSE
+            ELSE TRUE END AS keep
+FROM verdict v JOIN stats s ON v.doc_id = s.doc_id
+ORDER BY v.doc_id
 """
 
 
@@ -1456,14 +1639,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-def sql_text_stats() -> str:
+def _text_stats_sql(src: str) -> str:
+    """text_stats oracle arithmetic over ``src`` (no ORDER BY) — shared
+    by sql_text_stats (documents) and sql_corpus_clean (docs∪replicas)
+    so the quality formula cannot diverge between the two oracles."""
     stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
     return f"""
 WITH base AS (
   SELECT doc_id, text,
          string_split(trim(text), ' ') AS words,
          length(text) AS n_chars
-  FROM documents
+  FROM {src}
 ),
 m AS (
   SELECT doc_id,
@@ -1484,8 +1670,11 @@ SELECT doc_id, n_words, n_chars,
             ELSE round(1.0 - least(pr * 2.0, 0.5)
                            - least(abs(sr - 0.12) * 1.5, 0.5), 4)
        END AS quality
-FROM m ORDER BY doc_id
-"""
+FROM m"""
+
+
+def sql_text_stats() -> str:
+    return _text_stats_sql("documents") + " ORDER BY doc_id\n"
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2033,6 +2222,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_triples": q_streaming_triples,
     "streaming_sessions": q_streaming_sessions,
     "graph_bucketed_degree": q_graph_bucketed_degree,
+    # beyond-reference graph analytics over the built entity graph
+    "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     # distributed training analog (F17/W8) — golden-parquet oracle from
     # the independent single-pass numpy fit (oracle/fit.py), plus
     # tests/test_fit_distributed.py single-node parity
@@ -2047,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     "dedup_keep": q_dedup_keep,
+    "corpus_clean": q_corpus_clean,
     # multimodal decode + resize
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -2107,6 +2300,8 @@ ORACLES: dict[str, str] = {
     "streaming_triples": sql_golden("kg_triples"),
     "streaming_sessions": sql_streaming_sessions(),
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
+    "graph_pagerank": sql_graph_pagerank(),
+    "graph_triangles": sql_graph_triangles(),
     "dirty_json": sql_dirty_json(),
     "kg_lang_gate": sql_kg_lang_gate(),
     "kg_sentences": sql_kg_sentences(),
@@ -2120,6 +2315,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),
     "dedup_keep": sql_dedup_keep(),
+    "corpus_clean": sql_corpus_clean(),
     "multimodal_features": sql_multimodal_features(),
     "multimodal_resize": sql_multimodal_resize(),
     "similarity_topk": sql_similarity_topk(),

@@ -36,6 +36,9 @@ AUDIT = [
     "dedup_simhash_pairs",
     "dedup_embedding",
     "dedup_keep",
+    "corpus_clean",
+    "graph_pagerank",
+    "graph_triangles",
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",

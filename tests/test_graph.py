@@ -1,0 +1,96 @@
+"""Graph analytics (operators/graph.py) + the corpus_clean composition.
+
+pagerank is checked against an independent dense-numpy iteration with
+the same per-round quantization; triangle_count against hand-counted
+graphs; corpus_clean's verdict semantics against the planted replica
+set (every replica MUST drop as a duplicate).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from knowledgeextraction_spark.operators import graph
+
+SF_DIR = os.environ.get("SPARKKG_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _numpy_pagerank(edges, damping, n_iter, round_dp):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.full(n, np.round(1.0 / n, round_dp))
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / outdeg[s]
+        r = np.round((1.0 - damping) / n + damping * contrib, round_dp)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    # cycle + chord + feeder + dangling sink (5 leaks mass: no out-edges)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in graph.pagerank(df).collect()}
+    want = _numpy_pagerank(edges, graph.PR_DAMPING, graph.PR_ITERS, graph.PR_ROUND_DP)
+    assert set(got) == set(want)
+    for node in want:
+        # np.round is half-even vs Spark's half-up → compare with an
+        # epsilon far above ulp noise, far below the 1e-10 grid
+        assert got[node] == pytest.approx(want[node], abs=1e-9), node
+    # sanity: the hub of the cycle outranks the feeder, sink got mass
+    assert got[1] > got[4]
+    assert got[5] > (1.0 - graph.PR_DAMPING) / 5
+
+
+def test_pagerank_total_mass_leaks_only_via_dangling(spark):
+    # no dangling nodes → total rank stays ~1 under the simplified variant
+    edges = [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    total = sum(r["rank"] for r in graph.pagerank(df).collect())
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 (each node in C(3,2)=3 triangles) + pendant node 5 (0 triangles),
+    # given with mixed/duplicated orientations to exercise symmetrize
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges = k4 + [(5, 1), (1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_path_graph_is_zero(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in graph.triangle_count(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_corpus_clean_verdict_semantics(spark):
+    from knowledgeextraction_spark.queries import q_corpus_clean
+
+    rows = q_corpus_clean(spark, SF_DIR).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # every planted replica (doc_id ≥ 1e6) is an exact duplicate of its
+    # source and must drop as one; its source doc must NOT drop as a
+    # duplicate (it is its cluster's representative)
+    replicas = [r for r in rows if r["doc_id"] >= 1_000_000]
+    assert replicas, "fixture should plant replicas"
+    for r in replicas:
+        assert r["keep"] is False and r["drop_reason"] == "duplicate"
+        # its cluster's representative is an ORIGINAL doc (the source,
+        # or a near-dup of it with a smaller id — never a replica), and
+        # that representative never drops as a duplicate
+        assert r["component_id"] < 1_000_000
+        rep = by_id[r["component_id"]]
+        assert rep["drop_reason"] != "duplicate"
+    # drop_reason is null iff kept; both branches non-degenerate
+    assert all((r["drop_reason"] is None) == r["keep"] for r in rows)
+    assert any(r["keep"] for r in rows)
+    assert any(not r["keep"] for r in rows)
