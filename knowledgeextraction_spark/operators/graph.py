@@ -104,7 +104,7 @@ def pagerank(
     return rank
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, use_local_checkpoint: bool = True) -> DataFrame:
     """edges(src long, dst long), treated as UNDIRECTED → (id long,
     triangles long): number of triangles each node participates in.
 
@@ -116,6 +116,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     orientation bounds the join fan-out by the smaller "forward
     degree" (the classic compact-forward argument: high-degree hubs
     mostly receive edges, so their forward adjacency stays small).
+
+    The edge list is materialized (lineage cut) BEFORE the three-way
+    self-join: the join references it three times, and without the cut
+    each reference re-expands the caller's full upstream plan — for
+    the triples graph that would re-run model inference 3× (the first
+    plan_audit of this query showed 529 exchanges).  Same remedy as
+    pagerank's per-round checkpoint; use reliable ``checkpoint()`` on
+    a cluster.
     """
     und = (
         edges.select("src", "dst")
@@ -123,6 +131,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if use_local_checkpoint:
+        und = und.localCheckpoint(eager=True)
     fwd = und.filter(F.col("src") < F.col("dst"))
     ab = fwd.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = fwd.select(F.col("src").alias("b"), F.col("dst").alias("c"))

@@ -640,6 +640,60 @@ FROM nodes n LEFT JOIN per p USING (id) ORDER BY entity_id
 """
 
 
+def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 + [NORTH] resumability as a driver-gated query: run the
+    materializing pipeline (stage snapshots + per-partition lineage
+    appends, pipeline.py:_stage/_lineage_rows) into a fresh out_dir,
+    run it a SECOND time — every stage must resume from its snapshot
+    (compute-if-absent) — then read back the ``_lineage`` table and
+    report per-stage total row counts.  Lineage rows append only when
+    a stage actually COMPUTES, so a recomputing (non-resuming) second
+    run would double every count; equality against the independent
+    per-stage oracles (records SQL + the mentions/linked/triples
+    goldens) therefore gates the lineage row counts AND the resume
+    path in one green row."""
+    import shutil
+    import tempfile
+
+    from .pipeline import KGPipeline
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkkg_lineage_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    pipe = KGPipeline(
+        spark,
+        entities=pages_src.entities_df(spark),
+        rules=pages_src.rules_df(spark),
+        equivalences=pages_src.equivalences_df(spark, pages_src.doc_equivalences()),
+        out_dir=out,
+    )
+    pages = _pages(spark, sf_dir)
+    pipe.run(pages)
+    pipe.run(pages)  # must resume every stage — no new lineage rows
+    lineage = spark.read.parquet(os.path.join(out, "_lineage"))
+    return (
+        lineage.groupBy("stage")
+        .agg(F.sum("count").cast("long").alias("n_rows"))
+        .orderBy("stage")
+    )
+
+
+def sql_pipeline_lineage() -> str:
+    return f"""
+SELECT stage, CAST(n_rows AS BIGINT) AS n_rows FROM (
+  SELECT 'records' AS stage, count(*) AS n_rows FROM ({sql_kg_records()})
+  UNION ALL
+  SELECT 'mentions', count(*) FROM ({sql_golden("kg_mentions")})
+  UNION ALL
+  SELECT 'linked', count(*) FROM ({sql_golden("kg_linked")})
+  UNION ALL
+  SELECT 'triples', count(*) FROM ({sql_golden("kg_triples")})
+) ORDER BY stage
+"""
+
+
 def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/W8 analog as a driver query: distributed closed-form training
     of the CRF projection (operators/fit.py) on weak dictionary
@@ -2225,6 +2279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # beyond-reference graph analytics over the built entity graph
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    # A11 lineage + resumable stage snapshots, gated end to end
+    "pipeline_lineage": q_pipeline_lineage,
     # distributed training analog (F17/W8) — golden-parquet oracle from
     # the independent single-pass numpy fit (oracle/fit.py), plus
     # tests/test_fit_distributed.py single-node parity
@@ -2302,6 +2358,7 @@ ORACLES: dict[str, str] = {
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
     "graph_pagerank": sql_graph_pagerank(),
     "graph_triangles": sql_graph_triangles(),
+    "pipeline_lineage": sql_pipeline_lineage(),
     "dirty_json": sql_dirty_json(),
     "kg_lang_gate": sql_kg_lang_gate(),
     "kg_sentences": sql_kg_sentences(),
