@@ -75,9 +75,16 @@ def pagerank(
     edges = edges.select("src", "dst")
     if use_local_checkpoint:
         edges = edges.localCheckpoint(eager=True)
+    # nodes and outdeg are joined EVERY round — materialize them once,
+    # or each iteration re-runs their distinct/groupBy shuffles from
+    # the edge list (10 redundant shuffles at the default iteration
+    # count)
     nodes = _edge_nodes(edges)
-    n = nodes.count()  # scalar; one job, not data-sized driver traffic
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if use_local_checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+    n = nodes.count()  # scalar; one job, not data-sized driver traffic
 
     teleport = (1.0 - damping) / n
     rank = nodes.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))

@@ -56,6 +56,22 @@ def test_pagerank_total_mass_leaks_only_via_dangling(spark):
     assert total == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_invariant_to_partitioning(spark):
+    """The per-round 10-dp quantization must make ranks EXACTLY equal
+    across partitionings (different groupBy-sum orders), not just
+    approximately — that is the property the DuckDB oracle relies on."""
+    import random
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df8 = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    r1 = {r["id"]: r["rank"] for r in graph.pagerank(df1).collect()}
+    r8 = {r["id"]: r["rank"] for r in graph.pagerank(df8).collect()}
+    assert r1 == r8  # bit-exact, not approx
+
+
 def test_triangle_count_known_graphs(spark):
     # K4 (each node in C(3,2)=3 triangles) + pendant node 5 (0 triangles),
     # given with mixed/duplicated orientations to exercise symmetrize
