@@ -499,6 +499,82 @@ ORDER BY user_id, session_id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup as a driver-gated streaming query
+    (streaming/stateful.py:dedup_stream): documents∪replicas replay as
+    three doc_id-ascending file drops (originals in two halves, then
+    the planted replicas), each content hash's elected keeper rides
+    group state across micro-batches, and every arriving doc gets its
+    keep verdict exactly once.  Oracle: the batch window rule
+    keep ⇔ doc_id = min(doc_id) over content_hash — stream == batch is
+    the gate."""
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import dedup_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkkg_sdedup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "_checkpoint")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    d = _docs_with_replicas(spark, sf_dir).select("doc_id", "text")
+    n_orig = _docs(spark, sf_dir).count()
+    # three ascending doc_id ranges → the keeper (global min per hash)
+    # always lands no later than any other group member, the
+    # dedup_stream ordering contract.  Files are mtime-stamped far
+    # apart: the file source orders by modification time at ms
+    # granularity, and two fast writes can collide in one millisecond
+    # and replay in arbitrary order (same fixture discipline as
+    # q_streaming_sessions).
+    did = F.col("doc_id")
+    stamped: set[str] = set()
+    for i, cond in enumerate(
+        [did < n_orig // 2, (did >= n_orig // 2) & (did < 1_000_000), did >= 1_000_000]
+    ):
+        d.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
+        t_stamp = 1_600_000_000 + i * 3600
+        for f_name in os.listdir(in_dir):
+            p = os.path.join(in_dir, f_name)
+            if f_name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (t_stamp, t_stamp))
+                stamped.add(p)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("doc_id")
+
+
+def sql_streaming_dedup() -> str:
+    return f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       doc_id = min(doc_id) OVER (
+         PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       ) AS keep
+FROM {_DOCS_REPL_SQL} d
+ORDER BY doc_id
+"""
+
+
 def q_graph_bucketed_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 as a driver-gated query: materialize the triples/nodes graph
     tables BUCKETED by entity id (pipeline.write_bucketed_graph_tables,
@@ -2275,6 +2351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming ingest + bucketed graph sink (golden-gated round trips)
     "streaming_triples": q_streaming_triples,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_dedup": q_streaming_dedup,
     "graph_bucketed_degree": q_graph_bucketed_degree,
     # beyond-reference graph analytics over the built entity graph
     "graph_pagerank": q_graph_pagerank,
@@ -2355,6 +2432,7 @@ ORACLES: dict[str, str] = {
     "crf_fit_distributed": sql_golden("crf_fit"),
     "streaming_triples": sql_golden("kg_triples"),
     "streaming_sessions": sql_streaming_sessions(),
+    "streaming_dedup": sql_streaming_dedup(),
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
     "graph_pagerank": sql_graph_pagerank(),
     "graph_triangles": sql_graph_triangles(),

@@ -101,3 +101,70 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "doc_id bigint, content_hash string, keep boolean"
+DEDUP_STATE_SCHEMA = "keeper bigint"
+
+
+def _dedup_update(key, pdfs, state: GroupState):
+    (content_hash,) = key
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    if state.exists:
+        (keeper,) = state.get
+    else:
+        # first batch this hash appears in: the in-batch min is the
+        # keeper (deterministic — no arrival-order dependence inside a
+        # batch, unlike built-in dropDuplicates' arbitrary survivor)
+        keeper = min(ids)
+        state.update((keeper,))
+    yield pd.DataFrame(
+        {
+            "doc_id": sorted(ids),
+            "content_hash": content_hash,
+            "keep": [i == keeper for i in sorted(ids)],
+        }
+    )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming docs(doc_id, text) → (doc_id, content_hash, keep):
+    incremental exact dedup — the streaming twin of dedup_exact /
+    dedup_keep's exact branch, with the keep verdict emitted exactly
+    once per arriving document.
+
+    State is ONE long per distinct content hash (the elected keeper),
+    carried across micro-batches; a duplicate arriving any number of
+    batches later is flagged keep=false against it.  At production
+    scale the state is bounded by distinct-content count — add a state
+    TTL (GroupStateTimeout) when the dedup horizon is time-limited,
+    the same discipline as any long-lived streaming dedup.
+
+    Contract (mirrors sessionize_stream's event-time contract): a
+    hash's globally-minimal doc_id must not arrive AFTER another
+    member of its group's first batch — guaranteed when drops ascend
+    in doc_id — so stream output == the batch window rule
+    (keep ⇔ doc_id = min(doc_id) over content_hash).
+    """
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import normalized_text
+
+    hashed = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+
+    def f(key, pdfs, state):
+        yield from _dedup_update(key, pdfs, state)
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        f,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
