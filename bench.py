@@ -403,7 +403,11 @@ def write_queries_md(root: str) -> None:
     """
     import glob
 
-    arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    # numeric round key: lexicographic sort would order r10 before r2
+    arts = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(os.path.basename(p)[len("BENCH_r"):-len(".json")]),
+    )
     if not arts:
         return
     rounds = []
@@ -465,7 +469,10 @@ def update_baseline_md() -> None:
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    arts = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(os.path.basename(p)[len("BENCH_r"):-len(".json")]),
+    )
     if not arts:
         raise SystemExit("no BENCH_r*.json artifact to stamp from")
     latest = arts[-1]

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_BANDS = 8
@@ -41,6 +41,28 @@ SHINGLE = 3  # word 3-grams
 # max_bucket²/2 pairs per bucket and the dropped mass is measurable
 # (buckets over the cap), not silent.
 MAX_BUCKET = 1000
+
+
+def _cap_buckets(keys: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows whose bucket has more than ``max_bucket`` members —
+    the shared skew guard of the three LSH-style candidate joins.
+
+    Shape: a groupBy count (map-side combinable — a 10M-row mega-bucket
+    reduces to one row per map task before the shuffle) + an inner join
+    back on the bucket key, which AQE's skew-join can split at runtime.
+    A window count would instead force every bucket — including exactly
+    the mega-buckets the cap exists for — through ONE task just to be
+    counted (windows are not skew-splittable; same argument as
+    exact_members).  The join's surviving-bucket side carries one row
+    per under-cap bucket, so the mega-bucket's rows hash into a
+    splittable probe with no match and vanish."""
+    under = (
+        keys.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    return keys.join(under, bucket_cols)
 
 
 def normalized_text(col="text"):
@@ -170,13 +192,7 @@ def lsh_candidate_pairs(
     ``max_bucket=None`` for the uncapped test/oracle formulation."""
     sig = minhash_signatures(docs, n_bands, shingles=shingles)
     if max_bucket is not None:
-        # window count, not groupBy+join: the (band, sig) exchange it
-        # introduces is exactly the partitioning the self-join below
-        # needs, so the cap costs no extra shuffle of the sig table
-        w = Window.partitionBy("band", "sig")
-        sig = sig.withColumn("n", F.count("*").over(w)).filter(
-            F.col("n") <= max_bucket
-        ).drop("n")
+        sig = _cap_buckets(sig, ["band", "sig"], max_bucket)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -320,12 +336,7 @@ def simhash_near_pairs(
         "doc_id", "simhash", F.explode(band_structs).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
     if max_bucket is not None:
-        # same window-cap shape as lsh_candidate_pairs: the (band, bval)
-        # exchange doubles as the self-join partitioning
-        wn = Window.partitionBy("band", "bval")
-        keys = keys.withColumn("n", F.count("*").over(wn)).filter(
-            F.col("n") <= max_bucket
-        ).drop("n")
+        keys = _cap_buckets(keys, ["band", "bval"], max_bucket)
 
     a = keys.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval"
@@ -398,13 +409,7 @@ def embedding_near_dups_lsh(
         "vec_id", "band", "bucket"
     )
     if max_bucket is not None:
-        # window count, not groupBy+join: one (band, bucket) exchange
-        # that the candidate self-join below reuses, instead of an
-        # extra aggregate + join that recomputes the keying UDF
-        w = Window.partitionBy("band", "bucket")
-        keys = keys.withColumn("n", F.count("*").over(w)).filter(
-            F.col("n") <= max_bucket
-        ).drop("n")
+        keys = _cap_buckets(keys, ["band", "bucket"], max_bucket)
 
     cand = (
         keys.alias("a")

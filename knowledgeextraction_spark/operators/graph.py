@@ -59,10 +59,18 @@ def pagerank(
     """edges(src long, dst long), directed + deduped, self-loops
     excluded by the caller → (id long, rank double).
 
-    rank⁰ = 1/N; rankᵗ⁺¹(v) = (1−d)/N + d·Σ_{u→v} rankᵗ(u)/outdeg(u),
+    ``rank`` is UNIFORM-NORMALIZED PageRank: the probability vector
+    scaled by N, so uniform = 1.0 and the probability form is rank/N.
+    Iteration (the standard recurrence with both sides multiplied by
+    N): rank⁰ = 1; rankᵗ⁺¹(v) = (1−d) + d·Σ_{u→v} rankᵗ(u)/outdeg(u),
     every rank rounded to ``round_dp`` decimals per round (see module
-    docstring). N counts edge-touching nodes; isolated nodes are the
-    caller's concern (same contract as connected_components).
+    docstring).  The normalization is what makes the fixed decimal
+    grid scale-free: values stay O(1) at ANY graph size, so 10 dp keeps
+    ~10 significant digits whether N is 10² or 10¹⁰ — quantizing the
+    raw probabilities instead would hit the grid (100% error, then
+    all-zero ranks) once 1/N approaches 1e-10.  N counts edge-touching
+    nodes; isolated nodes are the caller's concern (same contract as
+    connected_components).
 
     Per round: one join of the edge list with the rank table on src
     (rank moves to the edges' partitioning — on a real cluster,
@@ -84,10 +92,8 @@ def pagerank(
     if use_local_checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
         outdeg = outdeg.localCheckpoint(eager=True)
-    n = nodes.count()  # scalar; one job, not data-sized driver traffic
-
-    teleport = (1.0 - damping) / n
-    rank = nodes.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))
+    teleport = 1.0 - damping
+    rank = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         contribs = (
             edges.join(rank.withColumnRenamed("id", "src"), "src")

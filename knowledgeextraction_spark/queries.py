@@ -73,6 +73,14 @@ _DOCS_REPL_SQL = (
     "FROM documents WHERE doc_id % 10 = 0)"
 )
 
+# the ONE normalized-text / content-hash convention, shared by every
+# oracle that hashes or tokenizes document content (dedup exact/minhash
+# prep, streaming dedup, the rep window) — mirrors
+# operators/dedup.normalized_text so the convention cannot silently
+# diverge between engines or between oracles (CLAUDE.md invariant)
+_NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_CONTENT_HASH_SQL = f"md5({_NORM_TEXT_SQL})"
+
 # doc-world sentence delimiters (word_mapping maps 'a'→'，', 'the'→'。')
 _DOC_DELIMS = "，。"
 
@@ -566,9 +574,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_streaming_dedup() -> str:
     return f"""
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       {_CONTENT_HASH_SQL} AS content_hash,
        doc_id = min(doc_id) OVER (
-         PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         PARTITION BY {_CONTENT_HASH_SQL}
        ) AS keep
 FROM {_DOCS_REPL_SQL} d
 ORDER BY doc_id
@@ -633,9 +641,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference graph analytics: damped PageRank over the
     entity graph the pipeline just built (operators/graph.py — fixed
     10-iteration iterative DataFrame joins, lineage cut per round,
-    per-round 10-dp rank quantization for engine-portable values).
-    Oracle: the identical unrolled iteration over the golden kg_triples
-    parquet."""
+    per-round 10-dp quantization of the UNIFORM-NORMALIZED rank —
+    uniform = 1.0, probability form = rank/N — which keeps the decimal
+    grid scale-free and the values engine-portable).  Oracle: the
+    identical unrolled iteration over the golden kg_triples parquet."""
     from .operators import graph
 
     pr = graph.pagerank(_triple_edges(spark, sf_dir))
@@ -656,8 +665,7 @@ def sql_graph_pagerank() -> str:
         f""",
 pr{k + 1} AS (
   SELECT n.id,
-         round({one_minus_d} / (SELECT n FROM nn)
-               + {d!r} * coalesce(c.s, 0.0), {dp}) AS rank
+         round({one_minus_d} + {d!r} * coalesce(c.s, 0.0), {dp}) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS id, sum(p.rank / o.deg) AS s
     FROM edges e JOIN pr{k} p ON e.src = p.id
@@ -671,9 +679,8 @@ pr{k + 1} AS (
 WITH t AS ({sql_golden("kg_triples")}),
 edges AS (SELECT * FROM {_EDGES_SQL}),
 nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
-pr0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), {dp}) AS rank FROM nodes){iters}
+pr0 AS (SELECT id, 1.0 AS rank FROM nodes){iters}
 SELECT id AS entity_id, round(rank, 6) AS rank
 FROM pr{graph.PR_ITERS} ORDER BY entity_id
 """
@@ -956,7 +963,7 @@ def sql_dedup_exact() -> str:
     return f"""
 SELECT content_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM (SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+             {_CONTENT_HASH_SQL} AS content_hash
       FROM {_DOCS_REPL_SQL} d) h
 GROUP BY content_hash HAVING count(*) >= 2 ORDER BY content_hash
 """
@@ -1000,9 +1007,7 @@ GROUP BY doc_id, band ORDER BY doc_id, band
 # sql_dedup_keep's memb CTE so the normalization convention cannot
 # silently diverge between the candidate stage and the exact edges)
 _REP_WINDOW_SQL = (
-    "min(doc_id) OVER ("
-    "PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
-    ") AS rep_id"
+    f"min(doc_id) OVER (PARTITION BY {_CONTENT_HASH_SQL}) AS rep_id"
 )
 
 _REPS_SQL = f"""(

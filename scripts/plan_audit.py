@@ -26,6 +26,7 @@ AUDIT = [
     "kg_relations_bag",
     "streaming_triples",
     "streaming_sessions",
+    "streaming_dedup",
     "graph_bucketed_degree",
     "squad_read",
     "dedup_exact",

