@@ -191,6 +191,12 @@ def lsh_candidate_pairs(
     so the cap only ever bites genuine near-dup mega-families; pass
     ``max_bucket=None`` for the uncapped test/oracle formulation."""
     sig = minhash_signatures(docs, n_bands, shingles=shingles)
+    # the signature table has up to 4 plan references below (bucket
+    # count, its join probe, and both self-join sides) — materialize it
+    # once or every reference re-runs the scan→shingle→min-agg upstream
+    # (the triangle_count lesson; use reliable checkpoint() on a
+    # cluster)
+    sig = sig.localCheckpoint(eager=True)
     if max_bucket is not None:
         sig = _cap_buckets(sig, ["band", "sig"], max_bucket)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
@@ -335,6 +341,9 @@ def simhash_near_pairs(
     keys = sig.select(
         "doc_id", "simhash", F.explode(band_structs).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    # same reuse shape as lsh_candidate_pairs: materialize once for the
+    # cap + both self-join sides, or each re-runs the simhash groupBy
+    keys = keys.localCheckpoint(eager=True)
     if max_bucket is not None:
         keys = _cap_buckets(keys, ["band", "bval"], max_bucket)
 
@@ -394,10 +403,14 @@ def embedding_near_dups_lsh(
     # cosine 1 by definition) re-expand the verdict linearly.
     e = embeddings.select("vec_id", "embedding")
     rep_map = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    m = e.join(rep_map, "embedding")
+    # m feeds reps + star, and reps feeds the keying UDF plus BOTH
+    # cosine sides — materialize each once (the triangle_count lesson:
+    # un-cut, every reference re-runs the rep-map join, and the
+    # hyperplane GEMM would run again per cosine side)
+    m = e.join(rep_map, "embedding").localCheckpoint(eager=True)
     reps = m.filter(F.col("vec_id") == F.col("rep_id")).select(
         "vec_id", "embedding"
-    )
+    ).localCheckpoint(eager=True)
     star = m.filter(F.col("vec_id") != F.col("rep_id")).select(
         F.col("rep_id").alias("vec_a"),
         F.col("vec_id").alias("vec_b"),
@@ -407,7 +420,7 @@ def embedding_near_dups_lsh(
     planes = make_planes(dim, n_bands * bits_per_band, seed)
     keys = lsh_band_keys(reps, planes, n_bands, bits_per_band).select(
         "vec_id", "band", "bucket"
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket is not None:
         keys = _cap_buckets(keys, ["band", "bucket"], max_bucket)
 

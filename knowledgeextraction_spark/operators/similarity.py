@@ -290,6 +290,10 @@ def lsh_topk(
         bits_per_band,
     ).select("neighbor_id", "band", "bucket")
     if max_bucket is not None:
+        # cb is referenced twice below (bucket sizes + the capped join
+        # probe) — materialize it once or the hyperplane-GEMM keying
+        # UDF runs twice over the corpus
+        cb = cb.localCheckpoint(eager=True)
         sizes = cb.groupBy("band", "bucket").agg(F.count("*").alias("n"))
         keep = sizes.filter(F.col("n") <= max_bucket).select("band", "bucket")
         cb = cb.join(keep, ["band", "bucket"])
