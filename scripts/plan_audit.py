@@ -108,6 +108,23 @@ Commentary (what the counts mean for the 100 TB plan):
   `dedup_simhash_pairs` is the same shape on the simhash side: the
   pigeonhole (band, value) equality self-join replaces the all-pairs
   hamming scan.
+- **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
+  linear in duplicate mass, CC over it); the stats branch is pure
+  narrow Catalyst; the final verdict⋈stats join is on the unique
+  doc_id — both sides pre-hashed on it, no skew.
+- **graph_pagerank / graph_triangles**: low counts are REAL, not an
+  artifact — the iterative plans cut lineage per round
+  (localCheckpoint), so the audited final plan is the last round's
+  join + the output orderBy.  Per-round cost: pagerank pays one
+  edges⋈rank join and one groupBy(dst) with map-side partial sums;
+  triangles pays two joins on single node keys over the materialized
+  oriented edge list (without that cut the three self-join references
+  re-expanded the whole upstream triples pipeline — 529 exchanges in
+  the first audit of this query).
+- **streaming_dedup**: audited plan is the read-back scan of the
+  streamed sink; the in-stream plan is one hash exchange on
+  content_hash into applyInPandasWithState carrying one long of state
+  per distinct hash.
 - **similarity_lsh**: per-band keying is one narrow Arrow-batched GEMM
   (the exchange count includes the scan repartitions of both sides);
   the wide work is the band-bucket join plus candidate dedup — the
