@@ -209,6 +209,30 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats(
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    shingles: DataFrame | None = None,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """→ (band, bucket_size, n_buckets, over_cap): the (band, sig)
+    bucket-size histogram — the telemetry that makes the ``max_bucket``
+    skew guard's dropped mass MEASURABLE rather than silent.  A
+    production dedup run materializes this alongside the pair output:
+    any ``over_cap`` row is a near-dup mega-family the candidate join
+    skipped, with its exact size on record.  Two map-side-combinable
+    groupBys over the signature table — no joins, no pair
+    enumeration; output is bounded by the number of DISTINCT bucket
+    sizes (≤ largest cluster), not by corpus size."""
+    sig = minhash_signatures(docs, n_bands, shingles=shingles)
+    sizes = sig.groupBy("band", "sig").agg(F.count("*").alias("bucket_size"))
+    return (
+        sizes.groupBy("band", "bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .withColumn("over_cap", F.col("bucket_size") > max_bucket)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame | None = None,

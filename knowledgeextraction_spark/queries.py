@@ -1050,6 +1050,40 @@ WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
 """
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap telemetry for the LSH candidate join (dedup.lsh_bucket_stats):
+    the (band, sig) bucket-size histogram over exact-dup
+    REPRESENTATIVES — the report that makes ``max_bucket``'s dropped
+    mass measurable (any over_cap row is a skipped near-dup
+    mega-family, with its size on record).  Same input shape as
+    dedup_lsh_pairs, so the histogram instruments exactly the join the
+    cap guards."""
+    reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
+    return (
+        dedup.lsh_bucket_stats(reps)
+        .withColumn("band", F.col("band").cast("long"))
+        .orderBy("band", "bucket_size")
+    )
+
+
+def sql_lsh_bucket_stats() -> str:
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_REPS_SQL)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
+  FROM ({sh}) s CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+  GROUP BY doc_id, band
+),
+sizes AS (
+  SELECT band, sig, CAST(count(*) AS BIGINT) AS bucket_size
+  FROM sig GROUP BY band, sig
+)
+SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+       bucket_size > {dedup.MAX_BUCKET} AS over_cap
+FROM sizes GROUP BY band, bucket_size ORDER BY band, bucket_size
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-candidate Jaccard verify among exact-dup REPRESENTATIVES
     (collapse-first pipeline order, r3 verdict item 1)."""
@@ -2372,6 +2406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2450,6 +2485,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash": sql_dedup_minhash(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
+    "lsh_bucket_stats": sql_lsh_bucket_stats(),
     "dedup_jaccard": sql_dedup_jaccard(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
