@@ -117,6 +117,51 @@ def pagerank(
     return rank
 
 
+def khop_counts(
+    edges: DataFrame, k: int = 2, use_local_checkpoint: bool = True
+) -> DataFrame:
+    """edges(src long, dst long), directed, self-loops excluded by the
+    caller → (id long, reach long): number of DISTINCT nodes reachable
+    in 1..k directed hops (excluding the node itself) — the standard
+    BFS-by-join.
+
+    Per hop: one join of the current frontier with the (checkpointed)
+    edge list on a single node key + a distinct — the frontier is
+    deduped EVERY hop, which is what keeps a power-law graph's hub
+    fan-out from multiplying paths (reachability, not path counting).
+    k stays small in practice (neighborhood features); deep traversal
+    belongs to the pregel-style loop with convergence checks
+    (connected_components).
+    """
+    edges = edges.select("src", "dst")
+    if use_local_checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    reach = edges
+    frontier = edges
+    for _ in range(k - 1):
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        if use_local_checkpoint:
+            frontier = frontier.localCheckpoint(eager=True)
+        reach = reach.unionByName(frontier)
+    counts = (
+        reach.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("reach"))
+        .withColumnRenamed("src", "id")
+    )
+    return (
+        _edge_nodes(edges)
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("reach", F.lit(0)).cast("long").alias("reach"))
+    )
+
+
 def triangle_count(edges: DataFrame, use_local_checkpoint: bool = True) -> DataFrame:
     """edges(src long, dst long), treated as UNDIRECTED → (id long,
     triangles long): number of triangles each node participates in.

@@ -777,6 +777,38 @@ SELECT stage, CAST(n_rows AS BIGINT) AS n_rows FROM (
 """
 
 
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability counts over the entity graph
+    (operators/graph.py:khop_counts — BFS-by-join with a per-hop
+    distinct, frontier checkpointed per hop).  Oracle: the same
+    one-join expansion over the golden kg_triples parquet."""
+    from .operators import graph
+
+    return (
+        graph.khop_counts(_triple_edges(spark, sf_dir), k=2)
+        .select(F.col("id").alias("entity_id"), "reach")
+        .orderBy("entity_id")
+    )
+
+
+def sql_graph_khop() -> str:
+    return f"""
+WITH t AS ({sql_golden("kg_triples")}),
+edges AS (SELECT * FROM {_EDGES_SQL}),
+two AS (
+  SELECT DISTINCT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+),
+r AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM two),
+counts AS (
+  SELECT src AS id, count(*) AS reach
+  FROM (SELECT DISTINCT src, dst FROM r WHERE src <> dst) GROUP BY src
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
+SELECT n.id AS entity_id, CAST(coalesce(c.reach, 0) AS BIGINT) AS reach
+FROM nodes n LEFT JOIN counts c USING (id) ORDER BY entity_id
+"""
+
+
 def q_crf_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/W8 analog as a driver query: distributed closed-form training
     of the CRF projection (operators/fit.py) on weak dictionary
@@ -2395,6 +2427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # beyond-reference graph analytics over the built entity graph
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_khop": q_graph_khop,
     # A11 lineage + resumable stage snapshots, gated end to end
     "pipeline_lineage": q_pipeline_lineage,
     # distributed training analog (F17/W8) — golden-parquet oracle from
@@ -2476,6 +2509,7 @@ ORACLES: dict[str, str] = {
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
     "graph_pagerank": sql_graph_pagerank(),
     "graph_triangles": sql_graph_triangles(),
+    "graph_khop": sql_graph_khop(),
     "pipeline_lineage": sql_pipeline_lineage(),
     "dirty_json": sql_dirty_json(),
     "kg_lang_gate": sql_kg_lang_gate(),

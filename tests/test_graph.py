@@ -90,6 +90,18 @@ def test_triangle_count_path_graph_is_zero(spark):
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
 
 
+def test_khop_counts_known_graphs(spark):
+    # path 1→2→3→4 at k=2: reach(1)={2,3}, reach(2)={3,4}, reach(3)={4}
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {r["id"]: r["reach"] for r in graph.khop_counts(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 0}
+    # 3-cycle: every node reaches both others within 2 hops (self
+    # excluded even though the 2-hop walk returns home)
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r["id"]: r["reach"] for r in graph.khop_counts(cyc, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
 def test_corpus_clean_verdict_semantics(spark):
     from knowledgeextraction_spark.queries import q_corpus_clean
 
