@@ -40,6 +40,7 @@ AUDIT = [
     "corpus_clean",
     "graph_pagerank",
     "graph_triangles",
+    "graph_khop",
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",
@@ -97,10 +98,12 @@ Commentary (what the counts mean for the 100 TB plan):
 - **dedup family**: groupBys on hash keys (uniform, skewless); minhash
   and simhash are single-aggregation plans (the 8×/60× row explosions
   of round 1 are gone).  Candidate generation is cluster-linear: exact
-  duplicates collapse to one representative before shingling (window
-  min on the content hash), and the per-bucket `MAX_BUCKET` cap is a
-  window count over the same (band, key) exchange the candidate
-  self-join needs — no extra shuffle.  `dedup_jaccard`'s count includes BOTH the
+  duplicates collapse to one representative before shingling (rep map
+  = map-side-combinable groupBy + AQE-splittable join), and the
+  per-bucket `MAX_BUCKET` cap is the same shape (`_cap_buckets`);
+  multiply-referenced signature tables are checkpointed once so the
+  self-joins read materialized blocks instead of re-running the
+  scan→shingle→min-agg upstream.  `dedup_jaccard`'s count includes BOTH the
   LSH-candidate branch and the verify branch over the shared persisted
   shingle table.  `dedup_embedding` is the LSH-bucketed path (round-2
   verdict item 5): zero cartesian nodes — candidates come from the
@@ -120,7 +123,8 @@ Commentary (what the counts mean for the 100 TB plan):
   triangles pays two joins on single node keys over the materialized
   oriented edge list (without that cut the three self-join references
   re-expanded the whole upstream triples pipeline — 529 exchanges in
-  the first audit of this query).
+  the first audit of this query); `graph_khop` is the same BFS-by-join
+  shape with a per-hop distinct + frontier checkpoint.
 - **streaming_dedup**: audited plan is the read-back scan of the
   streamed sink; the in-stream plan is one hash exchange on
   content_hash into applyInPandasWithState carrying one long of state
