@@ -33,12 +33,17 @@ Scale design (both):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
 PR_ROUND_DP = 10
+
+# KMV sketch capacity for kmv_reach_counts.  Standard error of the KMV
+# distinct-count estimator is ~1/sqrt(K-2) ≈ 13% at 64; raise for
+# tighter estimates at K× the (linear) state cost.
+KMV_K = 64
 
 
 def _edge_nodes(edges: DataFrame) -> DataFrame:
@@ -159,6 +164,106 @@ def khop_counts(
         _edge_nodes(edges)
         .join(counts, "id", "left")
         .select("id", F.coalesce("reach", F.lit(0)).cast("long").alias("reach"))
+    )
+
+
+def _kmv_truncate(sketch: DataFrame, cap: int) -> DataFrame:
+    """Keep the ``cap`` lexicographically-smallest distinct hashes per
+    node — one window sort per call, rows bounded by N×cap after it."""
+    w = Window.partitionBy("id").orderBy("hv")
+    return (
+        sketch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
+
+def kmv_reach_counts(
+    edges: DataFrame,
+    k: int = 2,
+    kmv_k: int = KMV_K,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Scale-safe k-hop reachability: ``khop_counts`` semantics —
+    (id long, reach long), distinct nodes reachable in 1..k directed
+    hops excluding self — but via merged K-minimum-values sketches
+    instead of exact (src, dst) pair materialization (the ANF /
+    HyperBall shape: Palmer et al. KDD'02, Boldi et al. WWW'11).
+
+    Why: exact per-hop pair sets are Σ_hubs(in-deg × out-deg) — a
+    single 10⁵-degree hub on a Zipfian entity graph materializes ~10¹⁰
+    rows.  Here per-node state is capped at ``kmv_k + 1`` hash rows, so
+    every hop is one edge join (≤ E×(K+1) rows pre-truncation) plus one
+    per-node window sort (≤ N×(K+1) rows after) — linear in E and N at
+    any degree distribution.
+
+    Sketch: the K+1 smallest distinct values of md5(dst) per node,
+    merged along edges each hop (merge = union + re-truncate).  A
+    sketch that never hit capacity is EXACT (a truncated contributor
+    has K+1 values, forcing the union to capacity too, so non-full ⇒
+    nothing was ever dropped); a full sketch yields the standard KMV
+    estimate (K−1)/r_K with r_K the K-th smallest non-self hash mapped
+    to (0,1].  Everything is deterministic AND engine-portable (the
+    DuckDB oracle reproduces it bit-for-bit): md5 is engine-independent,
+    ties cannot occur (hashes are distinct per node), and the estimate
+    uses only exactly-representable doubles — r_K is read from the
+    first 13 hex digits (52 bits ≤ the 53-bit mantissa), the numerator
+    (K−1)·2⁵² has 6 significant bits, and both engines' correctly-
+    rounded IEEE division then agrees bit-for-bit, with an explicit
+    floor() before the integer cast (DuckDB's double→BIGINT cast
+    rounds; Spark's truncates).
+
+    Self-exclusion: capacity is K+1 so that dropping the node's own
+    hash still leaves ≥ K values for the estimate.  Keep the exact
+    ``khop_counts`` as the fixture-scale oracle; tests bound the
+    sketch-vs-exact relative error.
+    """
+    cap = kmv_k + 1
+    edges = edges.select("src", "dst")
+    if use_local_checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    nodes = _edge_nodes(edges)
+    hashes = nodes.select("id", F.md5(F.col("id").cast("string")).alias("hv"))
+    sketch = _kmv_truncate(
+        edges.join(hashes.withColumnRenamed("id", "dst"), "dst")
+        .select(F.col("src").alias("id"), "hv")
+        .distinct(),
+        cap,
+    )
+    if use_local_checkpoint:
+        sketch = sketch.localCheckpoint(eager=True)
+    for _ in range(k - 1):
+        prop = (
+            edges.join(sketch.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "hv")
+        )
+        sketch = _kmv_truncate(sketch.unionByName(prop).distinct(), cap)
+        if use_local_checkpoint:
+            sketch = sketch.localCheckpoint(eager=True)
+    n_all = sketch.groupBy("id").agg(F.count("*").alias("n_all"))
+    nonself = (
+        sketch.join(hashes.select("id", F.col("hv").alias("self_hv")), "id")
+        .filter(F.col("hv") != F.col("self_hv"))
+        .select("id", "hv")
+    )
+    kept = _kmv_truncate(nonself, kmv_k)
+    agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"), F.max("hv").alias("kth")
+    )
+    kth_int = F.greatest(
+        F.conv(F.substring(F.col("kth"), 1, 13), 16, 10).cast("double"),
+        F.lit(1.0),
+    )
+    numer = float((kmv_k - 1) * (1 << 52))  # exact: 6 significant bits
+    est = F.floor(F.lit(numer) / kth_int).cast("long")
+    counts = agg.join(n_all, "id").select(
+        "id",
+        F.when(F.col("n_all") >= cap, est)
+        .otherwise(F.col("n_kept").cast("long"))
+        .alias("reach"),
+    )
+    return nodes.join(counts, "id", "left").select(
+        "id", F.coalesce("reach", F.lit(0)).cast("long").alias("reach")
     )
 
 

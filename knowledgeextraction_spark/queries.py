@@ -778,34 +778,83 @@ SELECT stage, CAST(n_rows AS BIGINT) AS n_rows FROM (
 
 
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop reachability counts over the entity graph
-    (operators/graph.py:khop_counts — BFS-by-join with a per-hop
-    distinct, frontier checkpointed per hop).  Oracle: the same
-    one-join expansion over the golden kg_triples parquet."""
+    """2-hop reachability counts over the entity graph via merged
+    K-minimum-values sketches (operators/graph.py:kmv_reach_counts —
+    the ANF/HyperBall shape: per-node state capped at K+1 md5 hashes,
+    merged along edges per hop, so no exact hub-quadratic (src, dst)
+    pair set is ever materialized).  Sketches below capacity are exact,
+    so at oracle scale the values equal the exact BFS-by-join
+    (khop_counts, kept as the pytest oracle); the estimate branch is
+    engine-portable by construction and the DuckDB oracle mirrors the
+    full sketch computation, estimate branch included."""
     from .operators import graph
 
     return (
-        graph.khop_counts(_triple_edges(spark, sf_dir), k=2)
+        graph.kmv_reach_counts(_triple_edges(spark, sf_dir), k=2)
         .select(F.col("id").alias("entity_id"), "reach")
         .orderBy("entity_id")
     )
 
 
+def kmv_khop_tail_sql(kk: int) -> str:
+    """DuckDB mirror of operators/graph.py:kmv_reach_counts (k=2
+    unrolled), as the tail of a WITH chain expecting an ``edges`` CTE:
+    K+1-capacity KMV sketches over md5(id), one merge hop, self-hash
+    dropped, exact count below capacity / deterministic (K-1)/r_K
+    estimate at it.  Exposed so tests can run the estimate branch on a
+    literal edge list with small K against the Spark operator."""
+    cap = kk + 1
+    numer = (kk - 1) * (1 << 52)
+    return f"""nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hv FROM nodes),
+s1 AS (
+  SELECT id, hv FROM (
+    SELECT e.src AS id, nh.hv,
+           row_number() OVER (PARTITION BY e.src ORDER BY nh.hv) AS rn
+    FROM edges e JOIN h nh ON nh.id = e.dst
+  ) WHERE rn <= {cap}
+),
+u2 AS (
+  SELECT id, hv FROM s1
+  UNION
+  SELECT e.src AS id, s.hv FROM edges e JOIN s1 s ON s.id = e.dst
+),
+s2 AS (
+  SELECT id, hv FROM (
+    SELECT id, hv, row_number() OVER (PARTITION BY id ORDER BY hv) AS rn
+    FROM u2
+  ) WHERE rn <= {cap}
+),
+sz AS (SELECT id, count(*) AS n_all FROM s2 GROUP BY id),
+kept AS (
+  SELECT id, hv FROM (
+    SELECT s2.id, s2.hv,
+           row_number() OVER (PARTITION BY s2.id ORDER BY s2.hv) AS rn
+    FROM s2 JOIN h ON h.id = s2.id AND s2.hv <> h.hv
+  ) WHERE rn <= {kk}
+),
+agg AS (SELECT id, count(*) AS n_kept, max(hv) AS kth FROM kept GROUP BY id),
+fin AS (
+  SELECT a.id,
+         CASE WHEN sz.n_all >= {cap}
+              THEN CAST(floor(CAST({numer} AS DOUBLE) /
+                   CAST(greatest(('0x' || substr(a.kth, 1, 13))::BIGINT, 1)
+                        AS DOUBLE)) AS BIGINT)
+              ELSE a.n_kept END AS reach
+  FROM agg a JOIN sz USING (id)
+)
+SELECT n.id AS entity_id, CAST(coalesce(f.reach, 0) AS BIGINT) AS reach
+FROM nodes n LEFT JOIN fin f USING (id) ORDER BY entity_id
+"""
+
+
 def sql_graph_khop() -> str:
+    from .operators import graph
+
     return f"""
 WITH t AS ({sql_golden("kg_triples")}),
 edges AS (SELECT * FROM {_EDGES_SQL}),
-two AS (
-  SELECT DISTINCT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
-),
-r AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM two),
-counts AS (
-  SELECT src AS id, count(*) AS reach
-  FROM (SELECT DISTINCT src, dst FROM r WHERE src <> dst) GROUP BY src
-),
-nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
-SELECT n.id AS entity_id, CAST(coalesce(c.reach, 0) AS BIGINT) AS reach
-FROM nodes n LEFT JOIN counts c USING (id) ORDER BY entity_id
+{kmv_khop_tail_sql(graph.KMV_K)}
 """
 
 

@@ -3,8 +3,9 @@
 in Spark and its DuckDB oracle side-by-side, compare row counts, column
 names, dtypes, and round-6 values.
 
-    python scripts/oracle_sweep.py [sf_dir]     # default sf0.01
+    python scripts/oracle_sweep.py [sf_dir] [query ...]  # default sf0.01, all
 
+Optional trailing query names restrict the sweep to just those.
 Exits non-zero on any mismatch (prints the failing queries)."""
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ TABLES = [
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     os.environ.setdefault("SPARKKG_GOLDEN_SF", os.path.basename(sf.rstrip("/")))
 
     import duckdb
@@ -40,6 +42,8 @@ def main() -> int:
     qs, osql = em.queries(), em.oracle_sql()
     bad = []
     for name in sorted(qs):
+        if only and name not in only:
+            continue
         spdf = qs[name](spark, sf).toPandas()
         if name not in osql:
             # non-SQL-expressible ops: the driver records a rows-only
@@ -60,7 +64,8 @@ def main() -> int:
         print(f"{name:24s} {'OK' if ok else 'FAIL'} rows={len(spdf)}/{len(ddf)}")
         if not ok:
             bad.append(name)
-    print(f"\n{len(qs)} queries, failed: {bad or 'none'}")
+    n_run = len(only & set(qs)) if only else len(qs)
+    print(f"\n{n_run} queries, failed: {bad or 'none'}")
     spark.stop()
     return 1 if bad else 0
 

@@ -102,6 +102,79 @@ def test_khop_counts_known_graphs(spark):
     assert got == {1: 2, 2: 2, 3: 2}
 
 
+def _random_edges(n_nodes, n_draws, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = {(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_draws)}
+    return [(a, b) for a, b in edges if a != b]
+
+
+def test_kmv_reach_exact_below_capacity(spark):
+    """A KMV sketch that never hits capacity is exact: with K ≥ the
+    largest true reach, kmv_reach_counts must equal the exact
+    BFS-by-join khop_counts node for node."""
+    edges = _random_edges(40, 120, seed=17)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["id"]: r["reach"] for r in graph.khop_counts(df, k=2).collect()}
+    kmv = {r["id"]: r["reach"] for r in graph.kmv_reach_counts(df, k=2, kmv_k=64).collect()}
+    assert kmv == exact
+
+
+def test_kmv_reach_estimate_error_bound(spark):
+    """Estimate branch (K=16, σ≈1/√14≈27%): on a hub graph whose true
+    2-hop reaches far exceed K, the MEAN relative error must stay
+    within 25% and the worst single node within 4σ (the max over ~90
+    independent estimates is expected to land near 2.5-3σ).
+    Deterministic: fixed graph, md5 hashes."""
+    # hub 0 → everyone, plus a random background so many nodes reach
+    # the whole graph through the hub's in-edges
+    n = 400
+    edges = [(0, i) for i in range(1, n)] + _random_edges(n, 1200, seed=29)
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["id"]: r["reach"] for r in graph.khop_counts(df, k=2).collect()}
+    kmv = {r["id"]: r["reach"] for r in graph.kmv_reach_counts(df, k=2, kmv_k=16).collect()}
+    assert set(kmv) == set(exact)
+    rel = [
+        abs(kmv[i] - exact[i]) / exact[i] for i in exact if exact[i] > 0
+    ]
+    est_nodes = [i for i in exact if exact[i] > 17]
+    assert len(est_nodes) > 50  # the estimate branch is really exercised
+    assert max(rel) < 1.07, max(rel)  # 4σ at K=16
+    assert sum(rel) / len(rel) < 0.25, sum(rel) / len(rel)
+    # below-capacity nodes stay exact even at K=16
+    for i in exact:
+        if exact[i] <= 16:
+            assert kmv[i] == exact[i], i
+
+
+def test_kmv_reach_matches_duckdb_estimate_branch(spark):
+    """Engine portability of the ESTIMATE branch (the part the driver's
+    sf0.01 oracle never reaches because its 16-node graph stays exact):
+    Spark kmv_reach_counts and the DuckDB mirror (queries.py:
+    kmv_khop_tail_sql) must agree bit-for-bit at K=8 on a graph whose
+    sketches are all full."""
+    import duckdb
+
+    from knowledgeextraction_spark.queries import kmv_khop_tail_sql
+
+    edges = _random_edges(120, 900, seed=43)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["reach"]
+        for r in graph.kmv_reach_counts(df, k=2, kmv_k=8).collect()
+    }
+    values = ", ".join(f"({a}, {b})" for a, b in sorted(edges))
+    sql = (
+        f"WITH edges AS (SELECT CAST(src AS BIGINT) AS src, "
+        f"CAST(dst AS BIGINT) AS dst FROM (VALUES {values}) AS v(src, dst)),\n"
+        + kmv_khop_tail_sql(8)
+    )
+    want = {int(i): int(r) for i, r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
 def test_corpus_clean_verdict_semantics(spark):
     from knowledgeextraction_spark.queries import q_corpus_clean
 
