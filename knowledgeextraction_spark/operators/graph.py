@@ -25,10 +25,20 @@ Scale design (both):
   output bit-identical, so the DuckDB oracle can reproduce the exact
   values — the same portability discipline as the md5-based dedup
   hashes.
-- Dangling nodes (no out-edges) leak their mass — the simplified
-  textbook variant; the oracle mirrors it. (Redistributing dangling
-  mass needs one extra scalar agg per round — same plan shape, omitted
-  for oracle parity.)
+- Dangling nodes (no out-edges) leak their mass in the default
+  (simplified textbook) variant; ``redistribute_dangling=True`` runs
+  the full variant — one extra scalar agg per round, broadcast back —
+  conserving total mass at N per round.  The registered driver query
+  uses the full variant and its DuckDB oracle mirrors it.
+- Engine-portability caveat on the quantization: Spark's F.round uses
+  BigDecimal HALF_UP while DuckDB rounds the binary double, so an
+  unrounded value within ~1 ulp of a 1e-10 grid boundary CAN land on
+  adjacent grid points in the two engines and the per-round
+  quantization then locks the divergence in.  With O(1) normalized
+  ranks the collision probability per value per round is ~1e-6 and it
+  has never fired at test scale, but it is probabilistic, not a
+  guarantee — an epsilon-tolerant comparison is the robust cross-
+  engine contract at web scale.
 """
 
 from __future__ import annotations
@@ -60,6 +70,7 @@ def pagerank(
     n_iter: int = PR_ITERS,
     round_dp: int = PR_ROUND_DP,
     use_local_checkpoint: bool = True,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """edges(src long, dst long), directed + deduped, self-loops
     excluded by the caller → (id long, rank double).
@@ -84,6 +95,19 @@ def pagerank(
     ``localCheckpoint`` per round cuts the iterative plan's lineage
     exactly as in connected_components; use reliable ``checkpoint()``
     on a cluster for resumability.
+
+    ``redistribute_dangling=True`` runs the full PageRank variant:
+    each round the rank mass sitting on dangling nodes (no out-edges)
+    is summed — ONE extra scalar aggregation per round, reduced to a
+    1-row frame and broadcast into the update — and every node
+    receives its dang/N share inside the damped term, so total rank
+    mass is conserved at exactly N per round (up to the quantization
+    grid) instead of leaking.  The scalar is itself rounded to
+    ``round_dp`` before use for the same engine-portability reason as
+    the ranks; note the residual risk documented on the module: a sum
+    within ~1 ulp of a grid boundary can still round differently
+    across engines — a probabilistic, not absolute, guarantee that
+    grows with N (the dangling sum is O(N), so its ulp noise is too).
     """
     edges = edges.select("src", "dst")
     if use_local_checkpoint:
@@ -98,6 +122,11 @@ def pagerank(
         nodes = nodes.localCheckpoint(eager=True)
         outdeg = outdeg.localCheckpoint(eager=True)
     teleport = 1.0 - damping
+    n_frame = None
+    if redistribute_dangling:
+        n_frame = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+        if use_local_checkpoint:
+            n_frame = n_frame.localCheckpoint(eager=True)
     rank = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         contribs = (
@@ -107,14 +136,24 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        rank = nodes.join(
-            contribs.withColumnRenamed("dst", "id"), "id", "left"
-        ).select(
+        merged = nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+        inflow = F.coalesce(F.col("s"), F.lit(0.0))
+        if redistribute_dangling:
+            dang = (
+                rank.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+                .agg(
+                    F.coalesce(F.round(F.sum("rank"), round_dp), F.lit(0.0)).alias(
+                        "dang"
+                    )
+                )
+                .crossJoin(F.broadcast(n_frame))
+            )
+            merged = merged.crossJoin(F.broadcast(dang))
+            inflow = inflow + F.col("dang") / F.col("n_nodes")
+        rank = merged.select(
             "id",
             F.round(
-                F.lit(teleport)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
-                round_dp,
+                F.lit(teleport) + F.lit(damping) * inflow, round_dp
             ).alias("rank"),
         )
         if use_local_checkpoint:

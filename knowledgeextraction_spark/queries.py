@@ -58,18 +58,26 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the ONE replica-id offset: planted duplicate replicas (documents and
+# embeddings) get original_id + this, and every consumer that needs to
+# tell originals from replicas (streaming batch boundaries, fixture
+# assertions) compares against the SAME constant — a diverging copy of
+# this number would silently break the keeper-arrival ordering contract
+REPLICA_ID_OFFSET = 1_000_000
+
+
 def _docs_with_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ deterministic replicas of every 10th doc (dup seeds)."""
     d = _docs(spark, sf_dir)
     reps = d.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        "doc_id", F.col("doc_id") + F.lit(REPLICA_ID_OFFSET)
     )
     return d.unionByName(reps)
 
 
 _DOCS_REPL_SQL = (
     "(SELECT * FROM documents UNION ALL "
-    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    f"SELECT doc_id + {REPLICA_ID_OFFSET} AS doc_id, text, lang, source, n_chars "
     "FROM documents WHERE doc_id % 10 = 0)"
 )
 
@@ -507,23 +515,28 @@ ORDER BY user_id, session_id
 """
 
 
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup as a driver-gated streaming query
-    (streaming/stateful.py:dedup_stream): documents∪replicas replay as
-    three doc_id-ascending file drops (originals in two halves, then
-    the planted replicas), each content hash's elected keeper rides
-    group state across micro-batches, and every arriving doc gets its
-    keep verdict exactly once.  Oracle: the batch window rule
-    keep ⇔ doc_id = min(doc_id) over content_hash — stream == batch is
-    the gate."""
+def _run_replayed_doc_stream(
+    spark: SparkSession, sf_dir: str, tag: str, stream_op
+) -> DataFrame:
+    """Shared streaming-dedup fixture: land documents∪replicas as three
+    doc_id-ascending one-file parquet drops (originals in two halves,
+    then the planted replicas), replay them one file per micro-batch
+    through ``stream_op`` (a streaming DataFrame → DataFrame), sink to
+    parquet, and return the read-back output.
+
+    The ascending ranges guarantee every group's globally-minimal
+    doc_id arrives no later than any other member — the keeper/rep
+    ordering contract of dedup_stream and neardup_stream.  Files are
+    mtime-stamped far apart: the file source orders by modification
+    time at ms granularity, and two fast writes can collide in one
+    millisecond and replay in arbitrary order (same fixture discipline
+    as q_streaming_sessions)."""
     import shutil
     import tempfile
 
-    from .streaming.stateful import dedup_stream
-
     base = os.path.join(
         tempfile.gettempdir(),
-        f"sparkkg_sdedup_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"sparkkg_{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
@@ -533,17 +546,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs_with_replicas(spark, sf_dir).select("doc_id", "text")
     n_orig = _docs(spark, sf_dir).count()
-    # three ascending doc_id ranges → the keeper (global min per hash)
-    # always lands no later than any other group member, the
-    # dedup_stream ordering contract.  Files are mtime-stamped far
-    # apart: the file source orders by modification time at ms
-    # granularity, and two fast writes can collide in one millisecond
-    # and replay in arbitrary order (same fixture discipline as
-    # q_streaming_sessions).
     did = F.col("doc_id")
     stamped: set[str] = set()
     for i, cond in enumerate(
-        [did < n_orig // 2, (did >= n_orig // 2) & (did < 1_000_000), did >= 1_000_000]
+        [
+            did < n_orig // 2,
+            (did >= n_orig // 2) & (did < REPLICA_ID_OFFSET),
+            did >= REPLICA_ID_OFFSET,
+        ]
     ):
         d.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
         t_stamp = 1_600_000_000 + i * 3600
@@ -559,7 +569,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir)
     )
     q = (
-        dedup_stream(stream)
+        stream_op(stream)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
@@ -568,18 +578,83 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("doc_id")
+    return spark.read.parquet(out_dir)
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup as a driver-gated streaming query
+    (streaming/stateful.py:dedup_stream): documents∪replicas replay as
+    three doc_id-ascending file drops, each content hash's elected
+    keeper rides group state across micro-batches, and every arriving
+    doc gets its keep verdict — and the elected keeper id, for
+    downstream contract auditing — exactly once.  Oracle: the batch
+    window rule keeper = min(doc_id) over content_hash,
+    keep ⇔ doc_id = keeper — stream == batch is the gate."""
+    from .streaming.stateful import dedup_stream
+
+    return _run_replayed_doc_stream(spark, sf_dir, "sdedup", dedup_stream).orderBy(
+        "doc_id"
+    )
 
 
 def sql_streaming_dedup() -> str:
     return f"""
 SELECT doc_id,
        {_CONTENT_HASH_SQL} AS content_hash,
+       min(doc_id) OVER (
+         PARTITION BY {_CONTENT_HASH_SQL}
+       ) AS keeper,
        doc_id = min(doc_id) OVER (
          PARTITION BY {_CONTENT_HASH_SQL}
        ) AS keep
 FROM {_DOCS_REPL_SQL} d
 ORDER BY doc_id
+"""
+
+
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash-LSH NEAR-dup dedup as a driver-gated
+    streaming query (streaming/stateful.py:neardup_stream): documents∪
+    replicas replay as three doc_id-ascending drops; per-band minhash
+    signatures are computed narrow on each arriving doc, each
+    (band, sig) bucket's representative rides group state across
+    micro-batches, and every doc is verdicted against its buckets'
+    reps exactly once.  Output is the per-doc fold of the stream's
+    (doc_id, band, rep_id) rows: keep ⇔ the doc opened every one of
+    its buckets, dup_of = the smallest foreign representative it hit.
+    Oracle: the batch LSH bucket rule — rep = min(doc_id) per
+    (band, sig) over the same band-signature table the batch
+    dedup_minhash oracle builds — which the ascending replay makes the
+    stream reproduce exactly."""
+    from .streaming.stateful import neardup_stream
+
+    out = _run_replayed_doc_stream(spark, sf_dir, "sneardup", neardup_stream)
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.bool_and(F.col("rep_id") == F.col("doc_id")).alias("keep"),
+            F.min(
+                F.when(F.col("rep_id") != F.col("doc_id"), F.col("rep_id"))
+            ).alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_streaming_neardup() -> str:
+    sh = _SHINGLE_SQL.format(n=dedup.SHINGLE, src=_DOCS_REPL_SQL)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, band, min(md5(concat(band::VARCHAR, ':', shingle))) AS sig
+  FROM ({sh}) s CROSS JOIN (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+  GROUP BY doc_id, band
+),
+rep AS (SELECT band, sig, min(doc_id) AS rep_id FROM sig GROUP BY band, sig),
+j AS (SELECT s.doc_id, r.rep_id FROM sig s JOIN rep r USING (band, sig))
+SELECT doc_id,
+       bool_and(rep_id = doc_id) AS keep,
+       min(CASE WHEN rep_id <> doc_id THEN rep_id END) AS dup_of
+FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -643,11 +718,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-iteration iterative DataFrame joins, lineage cut per round,
     per-round 10-dp quantization of the UNIFORM-NORMALIZED rank —
     uniform = 1.0, probability form = rank/N — which keeps the decimal
-    grid scale-free and the values engine-portable).  Oracle: the
-    identical unrolled iteration over the golden kg_triples parquet."""
+    grid scale-free and the values engine-portable).  Runs the FULL
+    variant — dangling-node rank mass is summed each round (one scalar
+    agg, broadcast back) and redistributed uniformly, conserving total
+    mass at N per round (tests/test_graph.py asserts conservation).
+    Oracle: the identical unrolled iteration over the golden
+    kg_triples parquet, dangling term included."""
     from .operators import graph
 
-    pr = graph.pagerank(_triple_edges(spark, sf_dir))
+    pr = graph.pagerank(_triple_edges(spark, sf_dir), redistribute_dangling=True)
     return (
         pr.select(
             F.col("id").alias("entity_id"), F.round("rank", 6).alias("rank")
@@ -661,17 +740,25 @@ def sql_graph_pagerank() -> str:
     d = graph.PR_DAMPING
     dp = graph.PR_ROUND_DP
     one_minus_d = repr(1.0 - d)
+    # mirror of the redistribute_dangling=True operator: per round, the
+    # (rounded) dangling rank sum is cross-joined in and every node
+    # receives its dang/N share inside the damped term
     iters = "".join(
         f""",
+dg{k} AS (
+  SELECT round(coalesce(sum(p.rank), 0.0), {dp}) AS dang
+  FROM pr{k} p LEFT JOIN outdeg o ON p.id = o.src WHERE o.src IS NULL
+),
 pr{k + 1} AS (
   SELECT n.id,
-         round({one_minus_d} + {d!r} * coalesce(c.s, 0.0), {dp}) AS rank
+         round({one_minus_d} + {d!r} * (coalesce(c.s, 0.0) + dg.dang / nn.n),
+               {dp}) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS id, sum(p.rank / o.deg) AS s
     FROM edges e JOIN pr{k} p ON e.src = p.id
     JOIN outdeg o ON e.src = o.src
     GROUP BY e.dst
-  ) c ON n.id = c.id
+  ) c ON n.id = c.id CROSS JOIN dg{k} dg CROSS JOIN nn
 )"""
         for k in range(graph.PR_ITERS)
     )
@@ -680,6 +767,7 @@ WITH t AS ({sql_golden("kg_triples")}),
 edges AS (SELECT * FROM {_EDGES_SQL}),
 nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 pr0 AS (SELECT id, 1.0 AS rank FROM nodes){iters}
 SELECT id AS entity_id, round(rank, 6) AS rank
 FROM pr{graph.PR_ITERS} ORDER BY entity_id
@@ -1251,14 +1339,14 @@ def _embeddings_with_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted pairs is 1 by construction."""
     e = _embeddings(spark, sf_dir)
     reps = e.filter(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        "vec_id", F.col("vec_id") + F.lit(REPLICA_ID_OFFSET)
     )
     return e.unionByName(reps)
 
 
 _EMB_REPL_SQL = (
     "(SELECT vec_id, embedding FROM embeddings UNION ALL "
-    "SELECT vec_id + 1000000 AS vec_id, embedding "
+    f"SELECT vec_id + {REPLICA_ID_OFFSET} AS vec_id, embedding "
     "FROM embeddings WHERE vec_id % 10 = 0)"
 )
 
@@ -2472,6 +2560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_triples": q_streaming_triples,
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_neardup": q_streaming_neardup,
     "graph_bucketed_degree": q_graph_bucketed_degree,
     # beyond-reference graph analytics over the built entity graph
     "graph_pagerank": q_graph_pagerank,
@@ -2555,6 +2644,7 @@ ORACLES: dict[str, str] = {
     "streaming_triples": sql_golden("kg_triples"),
     "streaming_sessions": sql_streaming_sessions(),
     "streaming_dedup": sql_streaming_dedup(),
+    "streaming_neardup": sql_streaming_neardup(),
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
     "graph_pagerank": sql_graph_pagerank(),
     "graph_triangles": sql_graph_triangles(),

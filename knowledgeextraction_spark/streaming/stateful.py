@@ -103,7 +103,9 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
-DEDUP_OUTPUT_SCHEMA = "doc_id bigint, content_hash string, keep boolean"
+DEDUP_OUTPUT_SCHEMA = (
+    "doc_id bigint, content_hash string, keeper bigint, keep boolean"
+)
 DEDUP_STATE_SCHEMA = "keeper bigint"
 
 
@@ -122,10 +124,14 @@ def _dedup_update(key, pdfs, state: GroupState):
         # batch, unlike built-in dropDuplicates' arbitrary survivor)
         keeper = min(ids)
         state.update((keeper,))
+    # the elected keeper rides along in every output row so a
+    # downstream audit can DETECT a violated arrival contract (a
+    # keeper ≠ group-min row is visible, not silently wrong)
     yield pd.DataFrame(
         {
             "doc_id": sorted(ids),
             "content_hash": content_hash,
+            "keeper": keeper,
             "keep": [i == keeper for i in sorted(ids)],
         }
     )
@@ -148,7 +154,11 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     hash's globally-minimal doc_id must not arrive AFTER another
     member of its group's first batch — guaranteed when drops ascend
     in doc_id — so stream output == the batch window rule
-    (keep ⇔ doc_id = min(doc_id) over content_hash).
+    (keep ⇔ doc_id = min(doc_id) over content_hash).  The elected
+    ``keeper`` is emitted in every row precisely so a violating
+    producer is DETECTABLE downstream (any row with
+    keeper ≠ min(doc_id) over its hash is the violation signature)
+    rather than silently mis-verdicted.
     """
     import pyspark.sql.functions as F
 
@@ -165,6 +175,100 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
         f,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEARDUP_OUTPUT_SCHEMA = "doc_id bigint, band int, rep_id bigint"
+NEARDUP_STATE_SCHEMA = "rep_id bigint"
+
+
+def _neardup_update(key, pdfs, state: GroupState):
+    band, _sig = key
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    if state.exists:
+        (rep,) = state.get
+    else:
+        rep = min(ids)
+        state.update((rep,))
+    ids.sort()
+    yield pd.DataFrame({"doc_id": ids, "band": int(band), "rep_id": rep})
+
+
+def neardup_stream(docs: DataFrame, n_bands: int | None = None) -> DataFrame:
+    """Streaming docs(doc_id, text) → (doc_id, band, rep_id):
+    incremental minhash-LSH NEAR-dup — the streaming twin of the batch
+    ``lsh_candidate_pairs`` contract (operators/dedup.py:179), replayed
+    incrementally: state keyed by (band, sig) holds that bucket's
+    elected representative, and every arriving document is verdicted
+    against it per band, exactly once.
+
+    Per-band signatures are computed NARROW — ``array_min`` over a
+    ``transform`` of the row's own distinct-shingle array reproduces
+    the batch ``min(md5(band:shingle))`` per-band minhash without any
+    streaming groupBy/shuffle — then exploded to (doc_id, band, sig)
+    rows.  A document emits one row per band; ``rep_id == doc_id``
+    means this document opened (represents) the bucket.  The per-doc
+    verdict is the stateless fold ``keep ⇔ every(rep_id = doc_id)``
+    over a doc's n_bands rows — all emitted in its arrival
+    micro-batch, so any downstream consumer (foreachBatch, or the
+    batch read-back in q_streaming_neardup) can fold without more
+    state.
+
+    State: one long per DISTINCT (band, sig) bucket — n_bands rows per
+    distinct near-dup family representative, the same bound as the
+    batch LSH bucket table; add a GroupStateTimeout TTL when the dedup
+    horizon is time-limited (same discipline as dedup_stream).
+
+    Contract (same as dedup_stream): a bucket's globally-minimal
+    doc_id must not arrive after another member's first batch —
+    guaranteed when drops ascend in doc_id — so stream output == the
+    batch rule rep_id = min(doc_id) over (band, sig), and the emitted
+    rep_id makes any violation detectable downstream.
+    """
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import N_BANDS, word_shingles
+
+    nb = N_BANDS if n_bands is None else n_bands
+
+    def _band_sig(b: int):
+        # the band prefix must be closed over OUTSIDE the lambda: a
+        # two-parameter lambda (e.g. ``lambda s, b=b``) is treated by
+        # F.transform as the (element, index) form and silently binds
+        # the second name to the ARRAY INDEX column
+        prefix = F.lit(f"{b}:")
+        return F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.md5(F.concat(prefix, s)))
+        )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"), _band_sig(b).alias("sig")
+            )
+            for b in range(nb)
+        ]
+    )
+    sigs = (
+        docs.withColumn("_shingles", word_shingles())
+        .select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+    def f(key, pdfs, state):
+        yield from _neardup_update(key, pdfs, state)
+
+    return sigs.groupBy("band", "sig").applyInPandasWithState(
+        f,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -58,6 +58,53 @@ def test_pagerank_total_mass_leaks_only_via_dangling(spark):
     assert total == pytest.approx(3.0, abs=1e-6)
 
 
+def _numpy_pagerank_full(edges, damping, n_iter, round_dp):
+    # full variant: dangling mass redistributed uniformly each round
+    nodes = sorted({x for e in edges for x in e})
+    idx = {node: i for i, node in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.ones(n)
+    for _ in range(n_iter):
+        dang = round(sum(r[idx[v]] for v in nodes if v not in outdeg), round_dp)
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / outdeg[s]
+        r = np.round((1.0 - damping) + damping * (contrib + dang / n), round_dp)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """redistribute_dangling=True: values match the independent numpy
+    full-variant mirror AND total rank mass is conserved at exactly N
+    after EVERY round (the leak variant loses d·dang per round)."""
+    # cycle + chord + feeder + dangling sink 5 (no out-edges)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(df, redistribute_dangling=True).collect()
+    }
+    want = _numpy_pagerank_full(edges, graph.PR_DAMPING, graph.PR_ITERS, graph.PR_ROUND_DP)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9), node
+    # mass conservation at every round depth (quantization noise only)
+    for it in (1, 2, 3, 5, graph.PR_ITERS):
+        total = sum(
+            r["rank"]
+            for r in graph.pagerank(
+                df, n_iter=it, redistribute_dangling=True
+            ).collect()
+        )
+        assert total == pytest.approx(5.0, abs=1e-6), it
+    # the default variant on the same graph leaks (sanity contrast)
+    leak_total = sum(r["rank"] for r in graph.pagerank(df).collect())
+    assert leak_total < 5.0 - 0.01
+
+
 def test_pagerank_invariant_to_partitioning(spark):
     """The per-round 10-dp quantization must make ranks EXACTLY equal
     across partitionings (different groupBy-sum orders), not just

@@ -131,3 +131,86 @@ def test_stateful_closed_sessions_match_batch_query(spark, tmp_path):
     q.awaitTermination(timeout=300)
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert got == want and len(got) > 5
+
+
+def test_neardup_stream_matches_batch_lsh_rule(spark, tmp_path):
+    """Incremental minhash-LSH dedup: the stream's per-bucket
+    representatives must equal the batch rule rep = min(doc_id) over
+    (band, sig) when drops ascend in doc_id — including state carried
+    ACROSS micro-batches (replicas of batch-1 docs arrive in batch 3) —
+    and every planted exact replica must fold to keep=false with its
+    source as dup_of."""
+    from pyspark.sql import functions as F
+
+    from knowledgeextraction_spark.operators.dedup import minhash_signatures
+    from knowledgeextraction_spark.streaming.stateful import neardup_stream
+
+    base = [
+        (i, f"doc number {i} talks about topic {i % 3} with several shared words "
+            f"plus unique marker {i} here")
+        for i in range(8)
+    ]
+    near = [(20, base[0][1].replace("marker 0", "marker twenty"))]  # near-dup of 0
+    exact = [(100 + i, base[i][1]) for i in (0, 3, 5)]  # exact replicas
+    drops = [base[:4], base[4:] + near, exact]  # ascending doc_id ranges
+
+    in_dir = str(tmp_path / "in")
+    import os as _os
+    import time as _time
+
+    for i, chunk in enumerate(drops):
+        df = spark.createDataFrame(chunk, "doc_id bigint, text string")
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        t_stamp = 1_600_000_000 + i * 3600
+        for f_name in _os.listdir(in_dir):
+            p = _os.path.join(in_dir, f_name)
+            if f_name.endswith(".parquet"):
+                st = _os.stat(p)
+                if st.st_mtime > 1_600_000_000 + i * 3600 - 1:
+                    _os.utime(p, (t_stamp, t_stamp))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        neardup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r.doc_id, r.band): r.rep_id for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch rule over the same docs: rep = min(doc_id) per (band, sig)
+    all_docs = spark.createDataFrame(
+        [d for chunk in drops for d in chunk], "doc_id bigint, text string"
+    )
+    sig = minhash_signatures(all_docs)
+    rep = sig.groupBy("band", "sig").agg(F.min("doc_id").alias("rep_id"))
+    want = {
+        (r.doc_id, r.band): r.rep_id for r in sig.join(rep, ["band", "sig"]).collect()
+    }
+    assert got == want and len(got) == 12 * 8
+
+    # per-doc fold: exact replicas (identical shingles ⇒ identical band
+    # sigs, which arrived in an earlier batch) see exactly their
+    # source's bucket reps and fold to keep=false; the near-dup hits at
+    # least one earlier bucket; the globally-minimal doc keeps
+    import collections
+
+    verdict = collections.defaultdict(set)
+    for (doc, _band), rep_id in got.items():
+        verdict[doc].add(rep_id)
+    for rid, src in ((100, 0), (103, 3), (105, 5)):
+        assert verdict[rid] == verdict[src], (rid, verdict[rid], verdict[src])
+        assert all(r < rid for r in verdict[rid])  # keep=false fold
+    assert any(r < 20 for r in verdict[20])  # near-dup dropped
+    assert verdict[0] == {0}  # the global-min doc keeps everything it opened
