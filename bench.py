@@ -16,7 +16,8 @@ scaling (BASELINE.md). Results are written to BENCH/BASELINE.md by
 
 Headline queries: the full KG pipeline (pages → triples) plus the
 heaviest non-KG operators (minhash dedup, similarity top-k, text
-stats, conlleval).
+stats, conlleval) and the iterative graph analytics over the built
+entity graph (pagerank / triangles / khop).
 """
 
 from __future__ import annotations
@@ -49,6 +50,13 @@ HEADLINE = [
     "multimodal_features",
     "text_stats",
     "conlleval_metrics",
+    # iterative-join graph machinery over the built entity graph (each
+    # re-runs the triples pipeline upstream, so these also watch the
+    # end-to-end DAG): pagerank = 10 join+agg rounds w/ dangling agg,
+    # triangles = 3-way self-join, khop = KMV sketch merge
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_khop",
 ]
 
 

@@ -70,6 +70,19 @@ def normalized_text(col="text"):
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
+def _materialize(df: DataFrame, use_local_checkpoint: bool) -> DataFrame:
+    """Lineage cut for a multiply-referenced frame (the triangle_count
+    lesson: un-cut, every plan reference re-runs the whole upstream).
+
+    ``localCheckpoint`` is EAGER (runs a Spark job at call time) and
+    pins blocks to local executors — non-recoverable on executor loss.
+    Cluster callers that need recoverability, or a pure lazy plan
+    builder, pass ``use_local_checkpoint=False`` and substitute
+    reliable ``checkpoint()``/persist on their own input — the same
+    escape hatch as graph.py's flag."""
+    return df.localCheckpoint(eager=True) if use_local_checkpoint else df
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """→ (content_hash, n_dups, keep_doc_id): groups with ≥2 members."""
     return (
@@ -181,6 +194,7 @@ def lsh_candidate_pairs(
     n_bands: int = N_BANDS,
     shingles: DataFrame | None = None,
     max_bucket: int | None = MAX_BUCKET,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """→ (doc_a, doc_b) distinct candidate pairs sharing any band bucket.
 
@@ -194,9 +208,7 @@ def lsh_candidate_pairs(
     # the signature table has up to 4 plan references below (bucket
     # count, its join probe, and both self-join sides) — materialize it
     # once or every reference re-runs the scan→shingle→min-agg upstream
-    # (the triangle_count lesson; use reliable checkpoint() on a
-    # cluster)
-    sig = sig.localCheckpoint(eager=True)
+    sig = _materialize(sig, use_local_checkpoint)
     if max_bucket is not None:
         sig = _cap_buckets(sig, ["band", "sig"], max_bucket)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
@@ -324,6 +336,7 @@ def simhash_near_pairs(
     bits: int = 60,
     n_bands: int = 4,
     max_bucket: int | None = MAX_BUCKET,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs whose simhashes differ in at
     most ``max_hamming`` bits — the pigeonhole band join that turns the
@@ -367,7 +380,7 @@ def simhash_near_pairs(
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
     # same reuse shape as lsh_candidate_pairs: materialize once for the
     # cap + both self-join sides, or each re-runs the simhash groupBy
-    keys = keys.localCheckpoint(eager=True)
+    keys = _materialize(keys, use_local_checkpoint)
     if max_bucket is not None:
         keys = _cap_buckets(keys, ["band", "bval"], max_bucket)
 
@@ -394,6 +407,7 @@ def embedding_near_dups_lsh(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int | None = None,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """→ (vec_a, vec_b, cosine): near-dup pairs via LSH bucketing — the
     PRODUCTION path (the brute-force variant below is its recall oracle
@@ -431,10 +445,11 @@ def embedding_near_dups_lsh(
     # cosine sides — materialize each once (the triangle_count lesson:
     # un-cut, every reference re-runs the rep-map join, and the
     # hyperplane GEMM would run again per cosine side)
-    m = e.join(rep_map, "embedding").localCheckpoint(eager=True)
-    reps = m.filter(F.col("vec_id") == F.col("rep_id")).select(
-        "vec_id", "embedding"
-    ).localCheckpoint(eager=True)
+    m = _materialize(e.join(rep_map, "embedding"), use_local_checkpoint)
+    reps = _materialize(
+        m.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id", "embedding"),
+        use_local_checkpoint,
+    )
     star = m.filter(F.col("vec_id") != F.col("rep_id")).select(
         F.col("rep_id").alias("vec_a"),
         F.col("vec_id").alias("vec_b"),
@@ -442,9 +457,12 @@ def embedding_near_dups_lsh(
     )
 
     planes = make_planes(dim, n_bands * bits_per_band, seed)
-    keys = lsh_band_keys(reps, planes, n_bands, bits_per_band).select(
-        "vec_id", "band", "bucket"
-    ).localCheckpoint(eager=True)
+    keys = _materialize(
+        lsh_band_keys(reps, planes, n_bands, bits_per_band).select(
+            "vec_id", "band", "bucket"
+        ),
+        use_local_checkpoint,
+    )
     if max_bucket is not None:
         keys = _cap_buckets(keys, ["band", "bucket"], max_bucket)
 

@@ -47,15 +47,43 @@ def conll_eval_lines(sentences: DataFrame) -> DataFrame:
     )
 
 
-def write_conll_eval(sentences: DataFrame, path: str) -> None:
+# ceiling for the single-file (coalesce(1)) eval-artifact writers: far
+# above any real eval set, far below corpus scale — the point is that a
+# corpus-sized frame pointed at a one-task writer FAILS LOUDLY instead
+# of silently funneling terabytes through one task
+MAX_EVAL_ROWS = 2_000_000
+
+
+def _assert_eval_sized(df: DataFrame, what: str, max_rows: int) -> DataFrame:
+    """Guard for the coalesce(1) writers.  ``limit(max+1).count()``
+    bounds the guard's own cost: the scan short-circuits once the
+    ceiling is exceeded instead of counting the whole frame."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: >{max_rows} rows for a single-file eval artifact — "
+            "this writer funnels everything through ONE task by design "
+            "(the format needs one ordered file); write the distributed "
+            "table form instead"
+        )
+    return df
+
+
+def write_conll_eval(
+    sentences: DataFrame, path: str, max_rows: int = MAX_EVAL_ROWS
+) -> None:
     """Materialize the eval artifact as a single ordered text file
     (an eval artifact is driver-sized by definition — one file keeps
     the reference's exact layout; the distributed table form is
-    ``conll_eval_lines``)."""
-    conll_eval_lines(sentences).coalesce(1).write.mode("overwrite").text(path)
+    ``conll_eval_lines``).  Raises if the frame exceeds ``max_rows``
+    (see ``_assert_eval_sized``)."""
+    lines = _assert_eval_sized(conll_eval_lines(sentences), "write_conll_eval", max_rows)
+    lines.coalesce(1).write.mode("overwrite").text(path)
 
 
-def write_predictions_tsv(predictions: DataFrame, out_dir: str) -> None:
+def write_predictions_tsv(
+    predictions: DataFrame, out_dir: str, max_rows: int = MAX_EVAL_ROWS
+) -> None:
     """predictions(guid string, probabilities array<double>,
     prediction long) → ``test_results.tsv`` + ``submit_results.tsv``
     (run_crf_albert.py:326-347 formats).
@@ -64,8 +92,10 @@ def write_predictions_tsv(predictions: DataFrame, out_dir: str) -> None:
     associates test_results row i with example i, so a multi-part
     unordered write would scramble the correspondence.  Eval artifacts
     are driver-sized by definition; the distributed form is the
-    ``predictions`` DataFrame itself.
+    ``predictions`` DataFrame itself.  Raises if the frame exceeds
+    ``max_rows`` (see ``_assert_eval_sized``).
     """
+    predictions = _assert_eval_sized(predictions, "write_predictions_tsv", max_rows)
     ordered = predictions.orderBy("guid").coalesce(1)
     probs = ordered.select(
         F.array_join(

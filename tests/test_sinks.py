@@ -39,6 +39,28 @@ def test_write_conll_eval_roundtrip(spark, tmp_path):
     assert txt == "1 字 _ _ O O\n\n"
 
 
+def test_eval_writers_reject_oversized_frames(spark, tmp_path):
+    """The coalesce(1) eval writers must FAIL LOUDLY on a frame above
+    their row ceiling instead of funneling it through one task."""
+    from knowledgeextraction_spark.sinks import write_conll_eval, write_predictions_tsv
+
+    sent = spark.createDataFrame(
+        [(i, ["字", "好"], ["O", "O"], ["O", "O"]) for i in range(8)],
+        "sent_id long, words array<string>, gold array<string>, pred array<string>",
+    )
+    with pytest.raises(ValueError, match="single-file eval artifact"):
+        write_conll_eval(sent, str(tmp_path / "conll"), max_rows=10)
+
+    preds = spark.createDataFrame(
+        [(f"guid-{i}", [0.5, 0.5], 1) for i in range(12)],
+        "guid string, probabilities array<double>, prediction long",
+    )
+    with pytest.raises(ValueError, match="single-file eval artifact"):
+        write_predictions_tsv(preds, str(tmp_path / "preds"), max_rows=10)
+    # at/below the ceiling both writers still work
+    write_predictions_tsv(preds, str(tmp_path / "preds_ok"), max_rows=12)
+
+
 def test_write_predictions_tsv(spark, tmp_path):
     from knowledgeextraction_spark.sinks import write_predictions_tsv
 
