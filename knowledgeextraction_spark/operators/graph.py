@@ -43,7 +43,7 @@ Scale design (both):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PR_DAMPING = 0.85
@@ -206,14 +206,35 @@ def khop_counts(
     )
 
 
+KMV_SALT = 64
+
+
 def _kmv_truncate(sketch: DataFrame, cap: int) -> DataFrame:
     """Keep the ``cap`` lexicographically-smallest distinct hashes per
-    node — one window sort per call, rows bounded by N×cap after it."""
-    w = Window.partitionBy("id").orderBy("hv")
+    node.  Two-stage salted aggregation, NOT a window: row_number over
+    partitionBy(id) would funnel a hub's entire pre-truncation row set
+    (in-degree × cap rows) through ONE task — windows are not
+    skew-splittable (same argument as dedup.exact_members).  Truncation
+    is associative — the cap smallest of the per-salt-group cap
+    smallest IS the cap smallest overall — so stage 1 takes the cap
+    smallest within each of ``KMV_SALT`` salt groups (map-side
+    combinable groupBy, every task bounded) and stage 2 re-truncates
+    the ≤ SALT×cap survivors per node.  Exactly the same output rows as
+    the single-pass formulation, so the DuckDB oracle (one row_number,
+    fine at oracle scale) is unaffected."""
+    stage1 = (
+        sketch.groupBy(
+            "id", F.pmod(F.xxhash64("hv"), F.lit(KMV_SALT)).alias("_salt")
+        )
+        .agg(
+            F.slice(F.array_sort(F.collect_set("hv")), 1, cap).alias("hvs")
+        )
+        .select("id", F.explode("hvs").alias("hv"))
+    )
     return (
-        sketch.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cap)
-        .drop("rn")
+        stage1.groupBy("id")
+        .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, cap).alias("hvs"))
+        .select("id", F.explode("hvs").alias("hv"))
     )
 
 
@@ -232,9 +253,10 @@ def kmv_reach_counts(
     Why: exact per-hop pair sets are Σ_hubs(in-deg × out-deg) — a
     single 10⁵-degree hub on a Zipfian entity graph materializes ~10¹⁰
     rows.  Here per-node state is capped at ``kmv_k + 1`` hash rows, so
-    every hop is one edge join (≤ E×(K+1) rows pre-truncation) plus one
-    per-node window sort (≤ N×(K+1) rows after) — linear in E and N at
-    any degree distribution.
+    every hop is one edge join (≤ E×(K+1) rows pre-truncation) plus the
+    salted two-stage truncation (``_kmv_truncate``: map-side-combinable
+    groupBys, every task bounded even at a hub; ≤ N×(K+1) rows after) —
+    linear in E and N at any degree distribution.
 
     Sketch: the K+1 smallest distinct values of md5(dst) per node,
     merged along edges each hop (merge = union + re-truncate).  A
