@@ -27,6 +27,7 @@ AUDIT = [
     "streaming_triples",
     "streaming_sessions",
     "streaming_dedup",
+    "streaming_neardup",
     "graph_bucketed_degree",
     "squad_read",
     "dedup_exact",
@@ -123,12 +124,30 @@ Commentary (what the counts mean for the 100 TB plan):
   triangles pays two joins on single node keys over the materialized
   oriented edge list (without that cut the three self-join references
   re-expanded the whole upstream triples pipeline — 529 exchanges in
-  the first audit of this query); `graph_khop` is the same BFS-by-join
-  shape with a per-hop distinct + frontier checkpoint.
+  the first audit of this query).  pagerank runs the FULL variant: the
+  per-round dangling-mass scalar aggregation reduces to ONE row and
+  re-enters the update via a broadcast cross join — no extra data-
+  scale shuffle.
+- **graph_khop**: merged K-minimum-values sketches (ANF/HyperBall
+  shape), NOT an exact pair set — per hop one edges⋈sketch join plus
+  the salted two-stage truncation (two map-side-combinable groupBys,
+  bounded per task even at a Zipfian hub; truncation is associative so
+  the two-stage result is bit-identical to the single-pass rule the
+  DuckDB oracle uses).  State is ≤ K+1 rows per node, so every hop is
+  linear in E and N at any degree distribution — this replaced r4's
+  hub-quadratic exact (src, dst) materialization.
 - **streaming_dedup**: audited plan is the read-back scan of the
   streamed sink; the in-stream plan is one hash exchange on
   content_hash into applyInPandasWithState carrying one long of state
-  per distinct hash.
+  per distinct hash (the elected keeper, now emitted per row for
+  contract auditing).
+- **streaming_neardup**: audited plan is the read-back scan plus the
+  per-doc verdict fold (one groupBy(doc_id) with map-side-combinable
+  bool_and/min); the in-stream plan computes per-band minhash
+  signatures NARROW (array_min over a transform of the row's shingle
+  array — no streaming shuffle before the state operator) and pays one
+  hash exchange on (band, sig) into applyInPandasWithState carrying
+  one long of state per distinct bucket.
 - **similarity_lsh**: per-band keying is one narrow Arrow-batched GEMM
   (the exchange count includes the scan repartitions of both sides);
   the wide work is the band-bucket join plus candidate dedup — the
