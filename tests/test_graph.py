@@ -168,6 +168,26 @@ def test_kmv_reach_exact_below_capacity(spark):
     assert kmv == exact
 
 
+def test_kmv_reach_k3_and_lazy_flag(spark):
+    """Multi-hop merge loop (k=3) matches the exact BFS below capacity,
+    and use_local_checkpoint=False (pure lazy plan) is value-identical."""
+    edges = _random_edges(30, 70, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["id"]: r["reach"] for r in graph.khop_counts(df, k=3).collect()}
+    kmv = {
+        r["id"]: r["reach"]
+        for r in graph.kmv_reach_counts(df, k=3, kmv_k=64).collect()
+    }
+    assert kmv == exact
+    lazy = {
+        r["id"]: r["reach"]
+        for r in graph.kmv_reach_counts(
+            df, k=3, kmv_k=64, use_local_checkpoint=False
+        ).collect()
+    }
+    assert lazy == exact
+
+
 def test_kmv_reach_estimate_error_bound(spark):
     """Estimate branch (K=16, σ≈1/√14≈27%): on a hub graph whose true
     2-hop reaches far exceed K, the MEAN relative error must stay
