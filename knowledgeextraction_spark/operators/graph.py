@@ -88,10 +88,13 @@ def pagerank(
     nodes; isolated nodes are the caller's concern (same contract as
     connected_components).
 
-    Per round: one join of the edge list with the rank table on src
-    (rank moves to the edges' partitioning — on a real cluster,
-    bucketing edges by src makes this exchange one-sided) and one
-    groupBy(dst) contribution sum with map-side partial aggregation.
+    Per round: one join of the deg-annotated edge list with the rank
+    table on src (rank moves to the edges' partitioning — on a real
+    cluster, bucketing edges by src makes this exchange one-sided) and
+    one groupBy(dst) contribution sum with map-side partial
+    aggregation.  The edges⋈outdeg join is LOOP-INVARIANT, so it is
+    materialized once before the loop — joining outdeg inside would
+    re-shuffle the N-row degree table every round.
     ``localCheckpoint`` per round cuts the iterative plan's lineage
     exactly as in connected_components; use reliable ``checkpoint()``
     on a cluster for resumability.
@@ -121,6 +124,9 @@ def pagerank(
     if use_local_checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
         outdeg = outdeg.localCheckpoint(eager=True)
+    edges_deg = edges.join(outdeg, "src")
+    if use_local_checkpoint:
+        edges_deg = edges_deg.localCheckpoint(eager=True)
     teleport = 1.0 - damping
     n_frame = None
     if redistribute_dangling:
@@ -130,8 +136,7 @@ def pagerank(
     rank = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         contribs = (
-            edges.join(rank.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            edges_deg.join(rank.withColumnRenamed("id", "src"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

@@ -742,14 +742,18 @@ def sql_graph_pagerank() -> str:
     one_minus_d = repr(1.0 - d)
     # mirror of the redistribute_dangling=True operator: per round, the
     # (rounded) dangling rank sum is cross-joined in and every node
-    # receives its dang/N share inside the damped term
+    # receives its dang/N share inside the damped term.  Each pr{k} is
+    # referenced TWICE per level (dangling sum + contribution join), so
+    # the CTEs must be MATERIALIZED: DuckDB's default CTE inlining
+    # would otherwise expand the 10-level chain into 2^10 copies of the
+    # base scan (observed: >120s at sf0.001 vs ~0.1s materialized).
     iters = "".join(
         f""",
-dg{k} AS (
+dg{k} AS MATERIALIZED (
   SELECT round(coalesce(sum(p.rank), 0.0), {dp}) AS dang
   FROM pr{k} p LEFT JOIN outdeg o ON p.id = o.src WHERE o.src IS NULL
 ),
-pr{k + 1} AS (
+pr{k + 1} AS MATERIALIZED (
   SELECT n.id,
          round({one_minus_d} + {d!r} * (coalesce(c.s, 0.0) + dg.dang / nn.n),
                {dp}) AS rank
@@ -768,7 +772,7 @@ edges AS (SELECT * FROM {_EDGES_SQL}),
 nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-pr0 AS (SELECT id, 1.0 AS rank FROM nodes){iters}
+pr0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM nodes){iters}
 SELECT id AS entity_id, round(rank, 6) AS rank
 FROM pr{graph.PR_ITERS} ORDER BY entity_id
 """
