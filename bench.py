@@ -384,6 +384,80 @@ def _run_dedup_job(sf_dir: str, cpus: int, replicate: int) -> dict:
     }
 
 
+def _materialize_graph_edges(n_nodes: int, n_edges: int) -> str:
+    """Build the graph workload's edge list once (untimed fixture prep,
+    the _materialize_pages pattern): a deterministic synthetic directed
+    graph with a power-law-ish out-degree head.  src is drawn via the
+    inverse-CDF trick u^2.5 (density ∝ x^-0.6 — a Zipfian-style hub
+    head, the shape entity graphs actually have), dst uniform; both from
+    xxhash64(id, salt) so the graph is a pure function of (n_nodes,
+    n_edges).  Self-loops and duplicate edges are dropped HERE so the
+    timed job is pagerank alone (its contract: deduped, no self-loops).
+    """
+    import pyspark.sql.functions as F
+
+    from knowledgeextraction_spark.session import get_spark
+
+    out = os.path.abspath(f".artifacts/bench_graph_edges_{n_nodes}_{n_edges}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    spark = get_spark("sparkkg-graph-fixture", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    scale = 1 << 20
+    u = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(scale)) / F.lit(float(scale))
+    edges = (
+        spark.range(n_edges)
+        .select(
+            F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(2.5)))
+            .cast("long")
+            .alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges.repartition(128).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def _run_graph_job(cpus: int, n_nodes: int, n_edges: int) -> dict:
+    """One fresh-JVM run of full-variant PageRank over the synthetic
+    power-law graph at a given parallelism — the third scaling
+    workload: iterative per-round join+groupBy machinery (barrier per
+    round, lineage cut via eager localCheckpoint), a different scaling
+    profile than the one-pass triples and dedup jobs because every
+    round is a full shuffle whose output feeds the next round's input.
+    """
+    from knowledgeextraction_spark.operators import graph
+    from knowledgeextraction_spark.session import get_spark
+
+    edges_path = _materialize_graph_edges(n_nodes, n_edges)
+    spark = get_spark(
+        f"sparkkg-scaling-graph-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.read.parquet(edges_path)
+    m = edges.count()  # untimed input scan warm (OS page cache)
+
+    t0 = time.monotonic()
+    rank = graph.pagerank(edges, redistribute_dangling=True)
+    n_nodes_out = rank.count()
+    dt = time.monotonic() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(dt, 2),
+        "n_edges": m,
+        "n_nodes": n_nodes_out,
+        "rounds": graph.PR_ITERS,
+        "edge_iters_per_sec": round(m * graph.PR_ITERS / dt, 2),
+    }
+
+
 def _run_triples_job_pinned(sf_dir: str, cpus: int, replicate: int) -> dict:
     """Run the triples job in a fresh process PINNED to ``cpus`` cores.
 
@@ -431,8 +505,13 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     repeats = int(os.environ.get("SPARKKG_SCALE_REPEATS", "3"))
     out = {}
     if os.environ.get("SPARKKG_SCALE_TRIPLES", "1") == "0":
-        # dedup-only re-measure: keep the committed triples section
-        return _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out)
+        # partial re-measure: keep the committed triples section,
+        # append the still-enabled workloads
+        if os.environ.get("SPARKKG_SCALE_DEDUP", "1") != "0":
+            out = _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out)
+        if os.environ.get("SPARKKG_SCALE_GRAPH", "1") != "0":
+            out = _scaling_graph(n_lo, n_hi, repeats, write_md, out)
+        return out
     # best-of-N per level: wall-clock noise on this shared VM is ±30%,
     # and noise only ever ADDS time, so min wall is the capability
     lo = min(
@@ -491,7 +570,9 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     # section so the root-BASELINE stamper's first-match parse still
     # picks the headline triples efficiency.
     if os.environ.get("SPARKKG_SCALE_DEDUP", "1") != "0":
-        return _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out)
+        out = _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out)
+    if os.environ.get("SPARKKG_SCALE_GRAPH", "1") != "0":
+        out = _scaling_graph(n_lo, n_hi, repeats, write_md, out)
     return out
 
 
@@ -543,6 +624,63 @@ def _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out):
                 f"| {n_lo} cores (local[{n_lo}]) | {dlo['wall_sec']} | {dlo['docs_per_sec']} | {dlo['n_near_pairs']} |\n"
                 f"| {n_hi} cores (local[{n_hi}]) | {dhi['wall_sec']} | {dhi['docs_per_sec']} | {dhi['n_near_pairs']} |\n\n"
                 f"**Dedup scaling efficiency = {deff:.3f}**\n"
+            )
+    return out
+
+
+def _scaling_graph(n_lo, n_hi, repeats, write_md, out):
+    """The graph workload pair: 10-round full-variant PageRank over a
+    deterministic synthetic power-law graph — evidences the north rule
+    on the ITERATIVE machinery (per-round shuffle barrier + lineage
+    cut), which neither one-pass workload exercises.  The per-round
+    eager localCheckpoint is part of the measured job: it is the
+    production shape (VERDICT r3/r4 — uncut iterative lineage re-runs
+    the upstream plan per reference)."""
+    factor = n_hi / n_lo
+    g_nodes = int(os.environ.get("SPARKKG_SCALE_GRAPH_NODES", "300000"))
+    g_edges = int(os.environ.get("SPARKKG_SCALE_GRAPH_EDGES", "3000000"))
+    _materialize_graph_edges(g_nodes, g_edges)  # untimed, shared by all runs
+    glo = min(
+        (
+            _run_pinned("--graph-job", [str(g_nodes), str(g_edges), str(n_lo)], n_lo)
+            for _ in range(repeats)
+        ),
+        key=lambda r: r["wall_sec"],
+    )
+    ghi = min(
+        (
+            _run_pinned("--graph-job", [str(g_nodes), str(g_edges), str(n_hi)], n_hi)
+            for _ in range(repeats)
+        ),
+        key=lambda r: r["wall_sec"],
+    )
+    geff = (ghi["edge_iters_per_sec"] / glo["edge_iters_per_sec"]) / factor
+    out["graph"] = {
+        "metric": f"graph_scaling_efficiency_{n_lo}_to_{n_hi}",
+        "value": round(geff, 3),
+        "low": glo,
+        "high": ghi,
+    }
+    if write_md:
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                "\n## Third workload: iterative PageRank (graph machinery)\n\n"
+                "Same pinned-core protocol on 10-round full-variant (dangling-\n"
+                "mass-conserving) PageRank over a deterministic synthetic\n"
+                f"power-law graph ({glo['n_nodes']} nodes, {glo['n_edges']} edges, "
+                "out-degree density\n"
+                "∝ x^-0.6 — Zipfian-style hubs; edge parquet untimed).  Probes\n"
+                "the ITERATIVE join+groupBy machinery — a per-round shuffle\n"
+                "barrier whose output feeds the next round, plus the per-round\n"
+                "lineage cut — which neither one-pass workload exercises.\n"
+                "Throughput = edges × rounds / wall.\n\n"
+                "| parallelism | best wall (s) | edge-iters/s |\n|---|---|---|\n"
+                f"| {n_lo} cores (local[{n_lo}]) | {glo['wall_sec']} | {glo['edge_iters_per_sec']} |\n"
+                f"| {n_hi} cores (local[{n_hi}]) | {ghi['wall_sec']} | {ghi['edge_iters_per_sec']} |\n\n"
+                f"**Graph scaling efficiency = {geff:.3f}**\n\n"
+                "Reproduce: `SPARKKG_SCALE_TRIPLES=0 SPARKKG_SCALE_DEDUP=0\n"
+                "python bench.py --scaling --write-md`\n"
+                "(SPARKKG_SCALE_GRAPH_NODES/EDGES override 300k/3M).\n"
             )
     return out
 
@@ -695,6 +833,13 @@ def main() -> None:
     if "--dedup-job" in sys.argv:
         i = sys.argv.index("--dedup-job")
         out = _run_dedup_job(sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+        print("JOB " + json.dumps(out))
+        return
+    if "--graph-job" in sys.argv:
+        i = sys.argv.index("--graph-job")
+        out = _run_graph_job(
+            int(sys.argv[i + 3]), int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        )
         print("JOB " + json.dumps(out))
         return
     if "--scaling" in sys.argv:
