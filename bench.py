@@ -678,6 +678,14 @@ def _scaling_graph(n_lo, n_hi, repeats, write_md, out):
                 f"| {n_lo} cores (local[{n_lo}]) | {glo['wall_sec']} | {glo['edge_iters_per_sec']} |\n"
                 f"| {n_hi} cores (local[{n_hi}]) | {ghi['wall_sec']} | {ghi['edge_iters_per_sec']} |\n\n"
                 f"**Graph scaling efficiency = {geff:.3f}**\n\n"
+                "Like the dedup workload, per-round rank/contribution\n"
+                "shuffles are near-zero FLOPs/byte, so this job hits the VM's\n"
+                "single-box memory-bandwidth ceiling before 8 cores (the\n"
+                "triples job's GEMM stays compute-bound); expect near-linear\n"
+                "2-to-4 and flattening 4-to-8 on this sandbox.  On N vs 4N\n"
+                "separate executors each node brings its own memory bus; what\n"
+                "governs there is per-round shuffle partitioning and hub skew\n"
+                "(AQE skew-join on the edge join's Zipfian dst key).\n\n"
                 "Reproduce: `SPARKKG_SCALE_TRIPLES=0 SPARKKG_SCALE_DEDUP=0\n"
                 "python bench.py --scaling --write-md`\n"
                 "(SPARKKG_SCALE_GRAPH_NODES/EDGES override 300k/3M).\n"
