@@ -71,6 +71,7 @@ def pagerank(
     round_dp: int = PR_ROUND_DP,
     use_local_checkpoint: bool = True,
     redistribute_dangling: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """edges(src long, dst long), directed + deduped, self-loops
     excluded by the caller → (id long, rank double).
@@ -97,7 +98,19 @@ def pagerank(
     re-shuffle the N-row degree table every round.
     ``localCheckpoint`` per round cuts the iterative plan's lineage
     exactly as in connected_components; use reliable ``checkpoint()``
-    on a cluster for resumability.
+    on a cluster for resumability.  ``checkpoint_every`` trades barrier
+    count against lineage depth: at ``e`` the materialization job (a
+    full scheduling barrier + rank write) runs every ``e`` rounds, with
+    the in-between rounds composed lazily — total shuffle work is
+    unchanged (each round still executes once, inside the next
+    materialization), but an iterative job whose per-round data is
+    small relative to the barrier cost does ``1/e`` as many driver
+    round-trips.  Values are unaffected (the per-round quantization is
+    in the PLAN, not the materialization).  Keep ``e`` small: the rank
+    frame is referenced twice per round when ``redistribute_dangling``
+    (contribution join + dangling anti-join), so the lazy plan segment
+    grows ~2^e — e=2 is the sweet spot, e>3 re-inflates the plan the
+    lineage cut exists to bound.
 
     ``redistribute_dangling=True`` runs the full PageRank variant:
     each round the rank mass sitting on dangling nodes (no out-edges)
@@ -134,7 +147,7 @@ def pagerank(
         if use_local_checkpoint:
             n_frame = n_frame.localCheckpoint(eager=True)
     rank = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = (
             edges_deg.join(rank.withColumnRenamed("id", "src"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -161,7 +174,9 @@ def pagerank(
                 F.lit(teleport) + F.lit(damping) * inflow, round_dp
             ).alias("rank"),
         )
-        if use_local_checkpoint:
+        if use_local_checkpoint and (
+            (it + 1) % checkpoint_every == 0 or it == n_iter - 1
+        ):
             rank = rank.localCheckpoint(eager=True)
     return rank
 

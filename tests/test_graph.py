@@ -121,6 +121,36 @@ def test_pagerank_invariant_to_partitioning(spark):
     assert r1 == r8  # bit-exact, not approx
 
 
+def test_pagerank_checkpoint_every_is_value_invariant(spark):
+    """checkpoint_every only changes WHERE materialization barriers
+    fall, never values: the per-round quantization lives in the plan.
+    Bit-exact across 1 (default), 3 (uneven — last round forced), and
+    the full-variant combination."""
+    import random
+
+    rng = random.Random(29)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(200)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["id"]: r["rank"] for r in graph.pagerank(df).collect()}
+    e3 = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(df, checkpoint_every=3).collect()
+    }
+    assert base == e3  # bit-exact
+    full1 = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(df, redistribute_dangling=True).collect()
+    }
+    full3 = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(
+            df, redistribute_dangling=True, checkpoint_every=3
+        ).collect()
+    }
+    assert full1 == full3  # bit-exact
+
+
 def test_triangle_count_known_graphs(spark):
     # K4 (each node in C(3,2)=3 triangles) + pendant node 5 (0 triangles),
     # given with mixed/duplicated orientations to exercise symmetrize
