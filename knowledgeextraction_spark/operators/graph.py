@@ -348,6 +348,77 @@ def kmv_reach_counts(
     )
 
 
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 32
+
+
+def kcore_members(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """edges(src long, dst long), treated as UNDIRECTED → (id long,
+    in_core boolean): membership in the k-core (the maximal subgraph
+    where every node has undirected degree ≥ k) — the classic
+    distributed peeling algorithm.
+
+    Per round: one degree groupBy over the surviving edge set (map-side
+    combinable) and two left-semi joins filtering edges to surviving
+    endpoints — all on single node keys, linear in E, no pair
+    enumeration anywhere, so a Zipfian hub costs its degree and nothing
+    more.  Peeling CASCADES (removing a node can drop a neighbor below
+    k), hence the loop; the survivor count is the convergence probe —
+    one COUNT of an N-bounded frame per round — and peeling only ever
+    removes, so an unchanged count IS the fixpoint.  ``max_rounds``
+    bounds the worst case (a k=2 path graph peels one layer per round
+    from each end); the registered oracle unrolls the same cap, so the
+    contract stays exact even if a pathological graph is still peeling
+    at the cap.  Determinism: survivors are a pure set function of the
+    edge set — no ordering, no floats — so the DuckDB mirror matches
+    bit-for-bit.  Lineage is cut per round exactly as in pagerank; use
+    reliable ``checkpoint()`` on a cluster.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if use_local_checkpoint:
+        und = und.localCheckpoint(eager=True)
+    # symmetric edge set ⇒ src alone covers every edge-touching node
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    alive = und
+    keep = nodes
+    prev_n = None
+    for _ in range(max_rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        if use_local_checkpoint:
+            keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_n:
+            break  # nothing peeled this round — fixpoint
+        prev_n = n
+        alive = (
+            alive.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        if use_local_checkpoint:
+            alive = alive.localCheckpoint(eager=True)
+    return nodes.join(
+        keep.withColumn("in_core", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+
+
 def triangle_count(edges: DataFrame, use_local_checkpoint: bool = True) -> DataFrame:
     """edges(src long, dst long), treated as UNDIRECTED → (id long,
     triangles long): number of triangles each node participates in.

@@ -869,6 +869,62 @@ SELECT stage, CAST(n_rows AS BIGINT) AS n_rows FROM (
 """
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference graph analytics: 2-core membership of the
+    entity graph the pipeline just built (operators/graph.py:
+    kcore_members — iterative distributed peeling: per-round degree
+    groupBy + two left-semi joins, survivor-count fixpoint probe,
+    lineage cut per round; no pair enumeration, linear in E at any
+    degree distribution).  The 2-core is the standard noise filter on
+    extraction graphs: entities that survive have at least two
+    independent relation anchors after the peeling cascade, pendant
+    chains hanging off the core peel away layer by layer.  Oracle: the
+    identical peeling unrolled to the same KCORE_MAX_ROUNDS cap over
+    the golden kg_triples parquet, so the contract is exact even for a
+    graph still peeling at the cap."""
+    from .operators import graph
+
+    m = graph.kcore_members(_triple_edges(spark, sf_dir))
+    return (
+        m.select(F.col("id").alias("entity_id"), "in_core")
+        .orderBy("entity_id")
+    )
+
+
+def sql_graph_kcore() -> str:
+    from .operators import graph
+
+    k = graph.KCORE_K
+    # e{r}: surviving undirected edge set after r peels; k{r}: nodes
+    # with degree >= k in e{r-1}.  Each level references its
+    # predecessor multiple times -> MATERIALIZED, same reason as the
+    # pagerank oracle (default CTE inlining goes exponential in depth).
+    levels = "".join(
+        f""",
+k{r} AS MATERIALIZED (
+  SELECT src AS id FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.id JOIN k{r} b ON e.dst = b.id
+)"""
+        for r in range(1, graph.KCORE_MAX_ROUNDS + 1)
+    )
+    return f"""
+WITH t AS ({sql_golden("kg_triples")}),
+dedges AS (SELECT * FROM {_EDGES_SQL}),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+  ) WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT src AS id FROM e0){levels}
+SELECT n.id AS entity_id, c.id IS NOT NULL AS in_core
+FROM nodes n LEFT JOIN k{graph.KCORE_MAX_ROUNDS} c ON n.id = c.id
+ORDER BY entity_id
+"""
+
+
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop reachability counts over the entity graph via merged
     K-minimum-values sketches (operators/graph.py:kmv_reach_counts —
@@ -2569,6 +2625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # beyond-reference graph analytics over the built entity graph
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_kcore": q_graph_kcore,
     "graph_khop": q_graph_khop,
     # A11 lineage + resumable stage snapshots, gated end to end
     "pipeline_lineage": q_pipeline_lineage,
@@ -2652,6 +2709,7 @@ ORACLES: dict[str, str] = {
     "graph_bucketed_degree": sql_graph_bucketed_degree(),
     "graph_pagerank": sql_graph_pagerank(),
     "graph_triangles": sql_graph_triangles(),
+    "graph_kcore": sql_graph_kcore(),
     "graph_khop": sql_graph_khop(),
     "pipeline_lineage": sql_pipeline_lineage(),
     "dirty_json": sql_dirty_json(),

@@ -151,6 +151,79 @@ def test_pagerank_checkpoint_every_is_value_invariant(spark):
     assert full1 == full3  # bit-exact
 
 
+def test_kcore_known_graphs(spark):
+    """2-core on structures with known answers, including a multi-round
+    peeling CASCADE (the part a single degree filter gets wrong)."""
+    # triangle {1,2,3} with a pendant CHAIN 3-4-5-6: nodes 4,5,6 all
+    # have degree 2 in the chain interior's sense only transiently —
+    # peeling must cascade from the end (6, then 5, then 4) over three
+    # rounds, leaving exactly the triangle.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["in_core"] for r in graph.kcore_members(df, k=2).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+    # pure path: peels to empty from both ends
+    path = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "src long, dst long")
+    got = {r["id"]: r["in_core"] for r in graph.kcore_members(path, k=2).collect()}
+    assert got == {i: False for i in range(1, 8)}
+    # cycle: already a 2-core, fixpoint after the first probe round
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {r["id"]: r["in_core"] for r in graph.kcore_members(cyc, k=2).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: True}
+    # k=3: K4 survives, a triangle bolted onto it does not; mixed
+    # duplicated orientations exercise the symmetrize
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    df = spark.createDataFrame(k4 + [(1, 9), (9, 10), (10, 1)], "src long, dst long")
+    got = {r["id"]: r["in_core"] for r in graph.kcore_members(df, k=3).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: True, 9: False, 10: False}
+
+
+def test_kcore_matches_duckdb_oracle_shape(spark):
+    """The unrolled-cap oracle contract: Spark's early-break fixpoint
+    equals the oracle's survivors-at-cap on a graph that needs several
+    cascade rounds; checked via the registered SQL against an in-memory
+    DuckDB with the same edge set."""
+    import duckdb
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (2, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["id"], r["in_core"]) for r in graph.kcore_members(df, k=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dedges (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO dedges VALUES (?, ?)", edges)
+    levels = "".join(
+        f""",
+k{r} AS MATERIALIZED (
+  SELECT src AS id FROM e{r - 1} GROUP BY src HAVING count(*) >= 2
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.id JOIN k{r} b ON e.dst = b.id
+)"""
+        for r in range(1, graph.KCORE_MAX_ROUNDS + 1)
+    )
+    want = sorted(
+        (int(i), bool(c))
+        for i, c in con.execute(
+            f"""
+WITH e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+  ) WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT src AS id FROM e0){levels}
+SELECT n.id, c.id IS NOT NULL FROM nodes n
+LEFT JOIN k{graph.KCORE_MAX_ROUNDS} c ON n.id = c.id
+"""
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_triangle_count_known_graphs(spark):
     # K4 (each node in C(3,2)=3 triangles) + pendant node 5 (0 triangles),
     # given with mixed/duplicated orientations to exercise symmetrize
