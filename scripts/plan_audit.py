@@ -42,6 +42,7 @@ AUDIT = [
     "graph_pagerank",
     "graph_triangles",
     "graph_khop",
+    "graph_kcore",
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",
@@ -136,6 +137,13 @@ Commentary (what the counts mean for the 100 TB plan):
   DuckDB oracle uses).  State is ≤ K+1 rows per node, so every hop is
   linear in E and N at any degree distribution — this replaced r4's
   hub-quadratic exact (src, dst) materialization.
+- **graph_kcore**: distributed peeling — per round one degree
+  groupBy (map-side combinable) over the surviving edge set and two
+  left-semi joins on single node keys, each round's survivors and
+  edge set checkpointed, so the audited final plan is the last
+  round's nodes⟕survivors join + orderBy.  The survivor COUNT is the
+  fixpoint probe (one N-bounded agg per round); no pair enumeration
+  anywhere, so a Zipfian hub costs its degree and nothing more.
 - **streaming_dedup**: audited plan is the read-back scan of the
   streamed sink; the in-stream plan is one hash exchange on
   content_hash into applyInPandasWithState carrying one long of state
