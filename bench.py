@@ -53,10 +53,12 @@ HEADLINE = [
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the
     # end-to-end DAG): pagerank = 10 join+agg rounds w/ dangling agg,
-    # triangles = 3-way self-join, khop = KMV sketch merge
+    # triangles = 3-way self-join, khop = KMV sketch merge, kcore =
+    # peel-to-fixpoint loop
     "graph_pagerank",
     "graph_triangles",
     "graph_khop",
+    "graph_kcore",
 ]
 
 
@@ -576,6 +578,29 @@ def run_scaling(sf_dir: str, replicate: int, write_md: bool) -> dict:
     return out
 
 
+def _replace_section(path: str, heading: str, text: str) -> None:
+    """Replace the ``heading``-to-next-'## ' section of ``path`` with
+    ``text`` (append if absent) — partial re-measures
+    (SPARKKG_SCALE_TRIPLES=0 ...) would otherwise accumulate duplicate
+    sections under the same heading on every run."""
+    body = ""
+    if os.path.exists(path):
+        body = open(path).read()
+    start = body.find(heading)
+    if start >= 0:  # splice in place, preserving section order
+        end = body.find("\n## ", start + len(heading))
+        tail = "" if end < 0 else body[end + 1 :]
+        if tail and not text.endswith("\n\n"):
+            text = text + "\n"
+        body = body[:start] + text + tail
+    else:
+        if body and not body.endswith("\n"):
+            body += "\n"
+        body += ("\n" if body else "") + text
+    with open(path, "w") as f:
+        f.write(body)
+
+
 def _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out):
     """The dedup workload pair (pure-Catalyst hash/shuffle work, no
     model UDFs) — evidences the north rule on a different resource mix
@@ -605,9 +630,10 @@ def _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out):
         "high": dhi,
     }
     if write_md:
-        with open("BENCH/BASELINE.md", "a") as f:
-            f.write(
-                "\n## Second workload: dedup job (supplementary transparency)\n\n"
+        _replace_section(
+            "BENCH/BASELINE.md",
+            "## Second workload:",
+                "## Second workload: dedup job (supplementary transparency)\n\n"
                 "Same pinned-core protocol on the exact-collapse → minhash-LSH →\n"
                 f"Jaccard-verify job over documents∪replicas ×{d_repl}\n"
                 "word-salted replicas (distinct text, so shingle work scales\n"
@@ -623,8 +649,8 @@ def _scaling_dedup(sf_dir, n_lo, n_hi, repeats, write_md, out):
                 "| parallelism | best wall (s) | docs/s | near pairs |\n|---|---|---|---|\n"
                 f"| {n_lo} cores (local[{n_lo}]) | {dlo['wall_sec']} | {dlo['docs_per_sec']} | {dlo['n_near_pairs']} |\n"
                 f"| {n_hi} cores (local[{n_hi}]) | {dhi['wall_sec']} | {dhi['docs_per_sec']} | {dhi['n_near_pairs']} |\n\n"
-                f"**Dedup scaling efficiency = {deff:.3f}**\n"
-            )
+                f"**Dedup scaling efficiency = {deff:.3f}**\n",
+        )
     return out
 
 
@@ -662,9 +688,10 @@ def _scaling_graph(n_lo, n_hi, repeats, write_md, out):
         "high": ghi,
     }
     if write_md:
-        with open("BENCH/BASELINE.md", "a") as f:
-            f.write(
-                "\n## Third workload: iterative PageRank (graph machinery)\n\n"
+        _replace_section(
+            "BENCH/BASELINE.md",
+            "## Third workload:",
+                "## Third workload: iterative PageRank (graph machinery)\n\n"
                 "Same pinned-core protocol on 10-round full-variant (dangling-\n"
                 "mass-conserving) PageRank over a deterministic synthetic\n"
                 f"power-law graph ({glo['n_nodes']} nodes, {glo['n_edges']} edges, "
@@ -688,8 +715,8 @@ def _scaling_graph(n_lo, n_hi, repeats, write_md, out):
                 "(AQE skew-join on the edge join's Zipfian dst key).\n\n"
                 "Reproduce: `SPARKKG_SCALE_TRIPLES=0 SPARKKG_SCALE_DEDUP=0\n"
                 "python bench.py --scaling --write-md`\n"
-                "(SPARKKG_SCALE_GRAPH_NODES/EDGES override 300k/3M).\n"
-            )
+                "(SPARKKG_SCALE_GRAPH_NODES/EDGES override 300k/3M).\n",
+        )
     return out
 
 

@@ -125,8 +125,21 @@ def pagerank(
     across engines — a probabilistic, not absolute, guarantee that
     grows with N (the dangling sum is O(N), so its ulp noise is too).
     """
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     edges = edges.select("src", "dst")
     if use_local_checkpoint:
+        # Materializing raw edges FIRST means the caller's upstream plan
+        # (for the entity graph: the whole triples pipeline) executes
+        # exactly once, even though three derived frames reference it.
+        # Cost: these blocks stay pinned alongside edges_deg's for the
+        # job (an extra E-row MEMORY_AND_DISK copy — evictable to disk);
+        # the alternative, deriving edges_deg straight from the lazy
+        # plan, re-runs the upstream once per branch inside the
+        # materialization job, which is strictly worse for any upstream
+        # that costs more than an edge-list scan.  On a cluster,
+        # reliable checkpoint() + unpersisting the raw-edge stage after
+        # setup releases the copy.
         edges = edges.localCheckpoint(eager=True)
     # nodes and outdeg are joined EVERY round — materialize them once,
     # or each iteration re-runs their distinct/groupBy shuffles from

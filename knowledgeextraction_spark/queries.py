@@ -891,15 +891,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_graph_kcore() -> str:
-    from .operators import graph
-
-    k = graph.KCORE_K
-    # e{r}: surviving undirected edge set after r peels; k{r}: nodes
-    # with degree >= k in e{r-1}.  Each level references its
-    # predecessor multiple times -> MATERIALIZED, same reason as the
-    # pagerank oracle (default CTE inlining goes exponential in depth).
-    levels = "".join(
+def kcore_peel_sql(k: int, rounds: int) -> str:
+    """The unrolled peel CTE chain shared by the registered oracle and
+    the operator's pytest (so the test always exercises the REGISTERED
+    SQL shape, not a private copy).  Expects an ``e0(src, dst)``
+    symmetric self-loop-free edge CTE in scope; defines k1..k{rounds}
+    (survivor sets) and e1..e{rounds} (surviving edges).  e{r}: edge
+    set after r peels; k{r}: nodes with degree >= k in e{r-1}.  Each
+    level references its predecessor multiple times -> MATERIALIZED,
+    same reason as the pagerank oracle (default CTE inlining goes
+    exponential in depth)."""
+    return "".join(
         f""",
 k{r} AS MATERIALIZED (
   SELECT src AS id FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
@@ -908,8 +910,14 @@ e{r} AS MATERIALIZED (
   SELECT e.src, e.dst FROM e{r - 1} e
   JOIN k{r} a ON e.src = a.id JOIN k{r} b ON e.dst = b.id
 )"""
-        for r in range(1, graph.KCORE_MAX_ROUNDS + 1)
+        for r in range(1, rounds + 1)
     )
+
+
+def sql_graph_kcore() -> str:
+    from .operators import graph
+
+    levels = kcore_peel_sql(graph.KCORE_K, graph.KCORE_MAX_ROUNDS)
     return f"""
 WITH t AS ({sql_golden("kg_triples")}),
 dedges AS (SELECT * FROM {_EDGES_SQL}),

@@ -192,20 +192,12 @@ def test_kcore_matches_duckdb_oracle_shape(spark):
     got = sorted(
         (r["id"], r["in_core"]) for r in graph.kcore_members(df, k=2).collect()
     )
+    from knowledgeextraction_spark.queries import kcore_peel_sql
+
     con = duckdb.connect()
     con.execute("CREATE TABLE dedges (src BIGINT, dst BIGINT)")
     con.executemany("INSERT INTO dedges VALUES (?, ?)", edges)
-    levels = "".join(
-        f""",
-k{r} AS MATERIALIZED (
-  SELECT src AS id FROM e{r - 1} GROUP BY src HAVING count(*) >= 2
-),
-e{r} AS MATERIALIZED (
-  SELECT e.src, e.dst FROM e{r - 1} e
-  JOIN k{r} a ON e.src = a.id JOIN k{r} b ON e.dst = b.id
-)"""
-        for r in range(1, graph.KCORE_MAX_ROUNDS + 1)
-    )
+    levels = kcore_peel_sql(2, graph.KCORE_MAX_ROUNDS)
     want = sorted(
         (int(i), bool(c))
         for i, c in con.execute(
