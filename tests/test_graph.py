@@ -216,6 +216,45 @@ LEFT JOIN k{graph.KCORE_MAX_ROUNDS} c ON n.id = c.id
     assert got == want
 
 
+def _python_kcore(edges, k):
+    """Independent brute-force peel: recompute degrees and drop < k
+    until stable (no rounds cap — true fixpoint)."""
+    und = {(a, b) for a, b in edges if a != b} | {
+        (b, a) for a, b in edges if a != b
+    }
+    nodes = {a for a, _ in und}
+    alive = set(und)
+    while True:
+        deg = {}
+        for a, _ in alive:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        new_alive = {(a, b) for a, b in alive if a in keep and b in keep}
+        if new_alive == alive:
+            break
+        alive = new_alive
+    return {n: n in keep for n in nodes}
+
+
+def test_kcore_random_graphs_vs_python_oracle(spark):
+    """Randomized sparse graphs (the regime where peeling cascades are
+    long and irregular) vs the capless pure-python fixpoint."""
+    import random
+
+    for seed, k in [(3, 2), (11, 2), (17, 3), (23, 3)]:
+        rng = random.Random(seed)
+        n = 40
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(55)})
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _python_kcore(edges, k)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["in_core"]
+            for r in graph.kcore_members(df, k=k).collect()
+        }
+        assert got == want, (seed, k)
+
+
 def test_triangle_count_known_graphs(spark):
     # K4 (each node in C(3,2)=3 triangles) + pendant node 5 (0 triangles),
     # given with mixed/duplicated orientations to exercise symmetrize
