@@ -153,6 +153,56 @@ def shingle_table(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(word_shingles()).alias("shingle"))
 
 
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = SHINGLE,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """→ (doc_id, n_shingles, n_hit, contamination): per-doc fraction
+    of distinct word n-grams that appear ANYWHERE in the benchmark
+    suite — benchmark DECONTAMINATION, the training-data step dedup
+    does not cover (dedup asks "is this doc a copy of another corpus
+    doc?"; this asks "does this doc leak the evaluation suite?" — the
+    n-gram-overlap filter of GPT-3 appendix C / The Pile / Dolma).
+
+    Plan shape: the benchmark's DISTINCT shingle set is aggregated once
+    (eval suites are thousands of docs vs a corpus of billions, so this
+    side is small — Catalyst/AQE broadcasts it when stats allow, else a
+    shuffle on the uniform shingle string key, skewless either way);
+    corpus shingles left-join it and one map-side-combinable
+    groupBy(doc_id) folds hit and total counts.  Linear in total
+    shingle volume, no pair enumeration: a shingle occurring in every
+    benchmark doc still contributes ONE right-side row.  Docs whose
+    normalized text yields no shingles produce no row (same contract as
+    the shingle-based dedup stages).
+
+    Pass ``shingles`` to reuse an already-built corpus shingle table.
+    """
+    sh = shingles if shingles is not None else docs.select(
+        "doc_id", F.explode(word_shingles(n=n)).alias("shingle")
+    )
+    bench = (
+        benchmark.select(F.explode(word_shingles(n=n)).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.join(bench, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_bands: int = N_BANDS, shingles: DataFrame | None = None
 ) -> DataFrame:

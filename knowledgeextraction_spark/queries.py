@@ -1370,6 +1370,54 @@ ORDER BY i.doc_a, i.doc_b
 """
 
 
+# deterministic pseudo-benchmark split for the decontamination query:
+# every 10th doc_id plays the held-out eval suite, the rest the corpus
+DECONTAM_MOD = 10
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:
+    contamination_scores): per corpus doc, the fraction of its distinct
+    word 3-grams that appear anywhere in the benchmark suite — the
+    training-data step dedup does NOT cover (GPT-3 appendix C / The
+    Pile / Dolma n-gram-overlap filtering).  Benchmark = every
+    DECONTAM_MOD-th doc_id of the documents table (deterministic
+    stand-in for a held-out eval suite); corpus = the rest.  One
+    distinct-shingle aggregation of the (small) benchmark side, one
+    skewless left join on the shingle key, one map-side-combinable
+    groupBy(doc_id).  Oracle: identical split + join over the same
+    shingle CTE."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) != 0)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) == 0)
+    return (
+        dedup.contamination_scores(corpus, bench)
+        .withColumn("contamination", F.round("contamination", 6))
+        .orderBy("doc_id")
+    )
+
+
+def sql_decontaminate() -> str:
+    corpus_sh = _SHINGLE_SQL.format(
+        n=dedup.SHINGLE,
+        src=f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0)",
+    )
+    bench_sh = _SHINGLE_SQL.format(
+        n=dedup.SHINGLE,
+        src=f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} = 0)",
+    )
+    return f"""
+WITH corpus_sh AS ({corpus_sh}),
+bench AS (SELECT DISTINCT shingle FROM ({bench_sh}) bs)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.shingle) AS BIGINT) AS n_hit,
+       round(CAST(count(b.shingle) AS DOUBLE) / count(*), 6) AS contamination
+FROM corpus_sh c LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -2648,6 +2696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_jaccard": q_dedup_jaccard,
+    "decontaminate": q_decontaminate,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -2730,6 +2779,7 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
     "lsh_bucket_stats": sql_lsh_bucket_stats(),
     "dedup_jaccard": sql_dedup_jaccard(),
+    "decontaminate": sql_decontaminate(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

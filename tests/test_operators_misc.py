@@ -122,6 +122,45 @@ def test_exact_duplicates(spark):
     assert got[0]["n_dups"] == 2 and got[0]["keep_doc_id"] == 1
 
 
+def test_contamination_scores_planted_overlap(spark):
+    """Planted decontamination scenario: a verbatim benchmark copy
+    scores 1.0, a doc quoting one benchmark sentence scores the quoted
+    fraction, a disjoint doc scores 0.0, and benchmark-internal
+    repetition must NOT inflate scores (distinct right side)."""
+    from knowledgeextraction_spark.operators.dedup import contamination_scores
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown fox jumps over the lazy dog"),  # dup
+            (102, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim leak of benchmark doc 100
+            (1, "The quick  brown fox jumps over the LAZY dog"),
+            # 4 words shared with benchmark ("the quick brown fox" →
+            # shingles: 2 hits of its 4 distinct 3-grams... computed below)
+            (2, "totally novel words then the quick brown fox appears"),
+            # disjoint
+            (3, "completely unrelated text about spark partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_scores(docs, bench).collect()
+    }
+    assert got[1]["contamination"] == 1.0
+    assert got[3]["contamination"] == 0.0 and got[3]["n_hit"] == 0
+    # doc 2: 9 words → 7 distinct 3-grams; exactly "the quick brown"
+    # and "quick brown fox" exist in the benchmark
+    assert got[2]["n_shingles"] == 7 and got[2]["n_hit"] == 2
+    assert got[2]["contamination"] == pytest.approx(2 / 7)
+
+
 def test_word_shingles(spark):
     from knowledgeextraction_spark.operators.dedup import word_shingles
 
