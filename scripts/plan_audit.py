@@ -34,6 +34,7 @@ AUDIT = [
     "dedup_minhash",
     "dedup_lsh_pairs",
     "dedup_jaccard",
+    "decontaminate",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -107,7 +108,11 @@ Commentary (what the counts mean for the 100 TB plan):
   self-joins read materialized blocks instead of re-running the
   scan→shingle→min-agg upstream.  `dedup_jaccard`'s count includes BOTH the
   LSH-candidate branch and the verify branch over the shared persisted
-  shingle table.  `dedup_embedding` is the LSH-bucketed path (round-2
+  shingle table.  `decontaminate` is the no-pair-enumeration shape:
+  the benchmark side collapses to a distinct shingle set once (small —
+  eval suites, not corpora), the corpus shingle stream left-joins it on
+  the uniform shingle key and folds into one map-side-combinable
+  groupBy(doc_id) — linear in shingle volume at any corpus size.  `dedup_embedding` is the LSH-bucketed path (round-2
   verdict item 5): zero cartesian nodes — candidates come from the
   (band, bucket) self-join, and only verified pairs pay a cosine.
   `dedup_simhash_pairs` is the same shape on the simhash side: the
