@@ -49,6 +49,8 @@ HEADLINE = [
     "similarity_topk",
     "multimodal_features",
     "text_stats",
+    "repetition_stats",
+    "decontaminate",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

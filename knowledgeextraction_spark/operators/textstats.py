@@ -153,3 +153,105 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.array_join(words, " ")).alias("fingerprint"),
     )
+
+
+# Gopher repetition-signal n-gram ranges (Rae et al. 2021, table A1):
+# "top" = chars of the single most frequent n-gram; "dup" = chars of
+# every n-gram occurring more than once
+TOP_NGRAMS = (2, 3, 4)
+DUP_NGRAMS = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals → one row per doc:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of lines
+      (resp. line characters) belonging to a line that occurs more than
+      once in the doc (raw ``\\n`` segments, empties dropped).
+    - ``top_{2,3,4}gram_frac``: chars of the most frequent word n-gram
+      (occurrences × n-gram length, ties broken to the lexicographically
+      smallest gram) over total normalized chars.
+    - ``dup_{5..10}gram_frac``: chars of all word n-grams occurring ≥2
+      times (Σ count × length) over total normalized chars.
+
+    The standard repetitious-text filter of web-corpus pipelines
+    (Gopher A1 / The Pile / Dolma); char counts follow the common
+    count×length convention — overlapping occurrences are not
+    interval-merged, so a pathological doc can exceed 1.0, exactly as
+    the reference implementations do.
+
+    One Arrow-batched pandas pass per doc computes all eleven signals —
+    a narrow map, zero shuffle at any corpus size (the per-(doc, gram)
+    groupBy alternative is 9 shuffles of the full gram stream).  Word
+    normalization mirrors the dedup shingle convention
+    (lower + trim + collapse runs of ``[\\t\\n\\f\\r ]`` — the RE2
+    ``\\s`` class, so the DuckDB oracle's ``\\s+`` agrees byte-for-byte
+    on ASCII text).  Docs with empty normalized text emit all-zero
+    fractions.
+    """
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[\t\n\f\r ]+")
+    n_cols = (
+        ["dup_line_frac", "dup_line_char_frac"]
+        + [f"top_{n}gram_frac" for n in TOP_NGRAMS]
+        + [f"dup_{n}gram_frac" for n in DUP_NGRAMS]
+    )
+
+    @pandas_udf("array<double>")
+    def rep(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            text = text or ""
+            vals = []
+            # line signals over raw newline segments
+            lines = [l for l in text.split("\n") if l != ""]
+            lc = Counter(lines)
+            n_lines = len(lines)
+            n_lchars = sum(len(l) for l in lines)
+            dup_n = sum(c for c in lc.values() if c >= 2)
+            dup_ch = sum(len(l) * c for l, c in lc.items() if c >= 2)
+            vals.append(dup_n / n_lines if n_lines else 0.0)
+            vals.append(dup_ch / n_lchars if n_lchars else 0.0)
+            # n-gram signals over normalized words
+            norm = ws.sub(" ", text.strip(" ").lower())
+            words = norm.split(" ") if norm else []
+            tc = len(norm)
+            for n in TOP_NGRAMS:
+                if tc == 0 or len(words) < n:
+                    vals.append(0.0)
+                    continue
+                grams = Counter(
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                # max count, ties to the smallest gram string
+                top_g, top_c = min(
+                    grams.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                vals.append(top_c * len(top_g) / tc)
+            for n in DUP_NGRAMS:
+                if tc == 0 or len(words) < n:
+                    vals.append(0.0)
+                    continue
+                grams = Counter(
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                vals.append(
+                    sum(len(g) * c for g, c in grams.items() if c >= 2) / tc
+                )
+            out.append(vals)
+        return pd.Series(out)
+
+    stats = docs.select("doc_id", rep(F.col(text_col)).alias("v"))
+    return stats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("v", i + 1), 6).alias(c)
+            for i, c in enumerate(n_cols)
+        ],
+    )

@@ -2131,6 +2131,95 @@ def sql_text_stats() -> str:
     return _text_stats_sql("documents") + " ORDER BY doc_id\n"
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/textstats.py:
+    repetition_stats): duplicate-line fractions plus top-{2,3,4}-gram
+    and duplicate-{5..10}-gram character fractions per doc — the
+    repetitious-text filter of Gopher A1 / The Pile / Dolma.  One
+    narrow Arrow-batched pass, zero shuffle; the oracle recomputes
+    every signal with per-n unnest + groupBy CTEs."""
+    return textstats.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_repetition_stats() -> str:
+    gram_ctes, cols = [], []
+    for n in textstats.TOP_NGRAMS + textstats.DUP_NGRAMS:
+        gram_ctes.append(f"""
+g{n} AS (
+  SELECT doc_id, unnest([array_to_string(words[i:i+{n}-1], ' ')
+                         for i in range(1, len(words) - {n} + 2)]) AS g
+  FROM w WHERE len(words) >= {n}
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g)""")
+    for n in textstats.TOP_NGRAMS:
+        gram_ctes.append(f"""
+top{n} AS (
+  SELECT doc_id, c * length(g) AS chars
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM c{n}) r
+  WHERE rn = 1
+)""")
+        cols.append(
+            f"round(coalesce(top{n}.chars * 1.0 / w.tc, 0), 6)"
+            f" AS top_{n}gram_frac"
+        )
+    for n in textstats.DUP_NGRAMS:
+        gram_ctes.append(f"""
+dup{n} AS (
+  SELECT doc_id, sum(c * length(g)) AS chars FROM c{n}
+  WHERE c >= 2 GROUP BY doc_id
+)""")
+        cols.append(
+            f"round(coalesce(dup{n}.chars * 1.0 / w.tc, 0), 6)"
+            f" AS dup_{n}gram_frac"
+        )
+    joins = "\n".join(
+        f"LEFT JOIN top{n} ON top{n}.doc_id = b.doc_id"
+        for n in textstats.TOP_NGRAMS
+    ) + "\n" + "\n".join(
+        f"LEFT JOIN dup{n} ON dup{n}.doc_id = b.doc_id"
+        for n in textstats.DUP_NGRAMS
+    )
+    gram_cte_sql = ",".join(gram_ctes)
+    col_sql = ",\n       ".join(cols)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words, length(norm) AS tc
+  FROM base WHERE norm <> ''
+),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base),
+lc AS (
+  SELECT doc_id, line, count(*) AS c FROM l WHERE line <> ''
+  GROUP BY doc_id, line
+),
+lstat AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(c * length(line)) AS n_lchars,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_n,
+         sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS dup_ch
+  FROM lc GROUP BY doc_id
+),{gram_cte_sql}
+SELECT b.doc_id,
+       round(coalesce(lstat.dup_n * 1.0 / nullif(lstat.n_lines, 0), 0), 6)
+         AS dup_line_frac,
+       round(coalesce(lstat.dup_ch * 1.0 / nullif(lstat.n_lchars, 0), 0), 6)
+         AS dup_line_char_frac,
+       {col_sql}
+FROM base b
+LEFT JOIN w ON w.doc_id = b.doc_id
+LEFT JOIN lstat ON lstat.doc_id = b.doc_id
+{joins}
+ORDER BY b.doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_extracted_pages(spark, sf_dir)).orderBy("url")
 
@@ -2697,6 +2786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_jaccard": q_dedup_jaccard,
     "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -2780,6 +2870,7 @@ ORACLES: dict[str, str] = {
     "lsh_bucket_stats": sql_lsh_bucket_stats(),
     "dedup_jaccard": sql_dedup_jaccard(),
     "decontaminate": sql_decontaminate(),
+    "repetition_stats": sql_repetition_stats(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

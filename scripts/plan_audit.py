@@ -50,6 +50,7 @@ AUDIT = [
     "multimodal_features",
     "multimodal_resize",
     "text_stats",
+    "repetition_stats",
     "winnow_fingerprints",
     "vocab_min_occur",
     "sessionize",

@@ -791,3 +791,43 @@ def test_normalize_surface_matches_python_on_unicode_digits(spark):
     df = spark.createDataFrame([(v,) for v in vals], "s string")
     got = [r["n"] for r in df.select(normalize_surface(F.col("s")).alias("n")).collect()]
     assert got == [normalize_digits(v) for v in vals]
+
+
+def test_repetition_stats_planted(spark):
+    """Planted Gopher-repetition scenarios: duplicate lines, a
+    heavily-repeated 5-gram (count x length convention can exceed 1.0
+    — documented behavior), deterministic lexicographic tie-break for
+    the top gram, and all-zero rows for empty/single-word docs."""
+    from knowledgeextraction_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ngamma delta\nalpha beta"),
+            (2, "a b c d e a b c d e a b c d e"),
+            (3, ""),
+            (4, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    # doc 1: line "alpha beta" (10 chars) twice of 3 lines / 31 chars;
+    # norm has 33 chars, "alpha beta" is the only repeated 2-gram
+    assert got[1]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(20 / 31, abs=1e-6)
+    assert got[1]["top_2gram_frac"] == pytest.approx(20 / 33, abs=1e-6)
+    # all 3-grams unique -> tie-break picks "alpha beta gamma" (16 chars)
+    assert got[1]["top_3gram_frac"] == pytest.approx(16 / 33, abs=1e-6)
+    assert got[1]["dup_5gram_frac"] == 0.0
+
+    # doc 2: tc=29; every 5-gram (9 chars) is duplicated: counts 3+2+2+2+2
+    assert got[2]["dup_5gram_frac"] == pytest.approx(99 / 29, abs=1e-6)
+    assert got[2]["dup_5gram_frac"] > 1.0  # count x length, no merging
+    assert got[2]["top_2gram_frac"] == pytest.approx(9 / 29, abs=1e-6)
+    assert got[2]["dup_line_frac"] == 0.0
+
+    for d in (3, 4):
+        row = got[d]
+        assert all(
+            row[c] == 0.0 for c in row.asDict() if c != "doc_id"
+        ), row
