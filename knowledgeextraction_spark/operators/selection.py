@@ -1,0 +1,199 @@
+"""Data selection via importance resampling (DSIR-style).
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling"): score every raw-corpus doc by how much more likely its
+hashed n-gram bag is under a TARGET distribution (a small high-quality
+set) than under the RAW distribution, then keep the top-weighted docs.
+The standard domain-targeting step of a pretraining-data pipeline —
+complementary to dedup (drop copies), decontamination (drop eval
+leaks), and quality gates (drop junk): this one RANKS what remains.
+
+Nothing here exists in the reference (a KG-extraction system, no
+corpus-selection stage); it is part of the driver-mandated
+training-data surface.
+
+Scale shape (the whole point of hashed features): both distribution
+estimates are ``n_buckets``-bounded aggregations — a groupBy on a
+uniform md5-derived bucket key, map-side combinable, B rows out no
+matter the corpus size.  The per-bucket log-ratio table (B rows)
+broadcasts into the per-doc bucket counts, and one groupBy(doc_id)
+folds the weight.  Linear in gram volume, no skew, no pair
+enumeration, nothing driver-sized except the B-row table.
+
+Cross-engine determinism: bucket = md5-prefix mod B (the simhash
+convention, dedup.py:365 ↔ the ``('0x' || substr(md5 …))::BIGINT``
+oracle cast); the log-ratio table is quantized to 9 dp BEFORE the
+per-doc fold and the folded weight to 4 dp after it (the pagerank
+two-stage quantization pattern), so engine-order float-sum drift is
+~1e-12 against a 1e-4 grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _materialize, normalized_text
+
+N_BUCKETS = 1024
+ALPHA = 1.0  # add-alpha smoothing over the bucket space
+
+
+def hashed_grams(docs: DataFrame, ngram_max: int = 2) -> DataFrame:
+    """→ (doc_id, bucket): one row per word n-gram occurrence
+    (n = 1..ngram_max, the DSIR unigram+bigram feature set), bucket =
+    first 15 md5 hex digits mod N_BUCKETS.  Occurrences, not distinct
+    — the features are bag counts."""
+    words = F.split(normalized_text(), " ")
+    grams = F.array_compact(
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(F.size(words) - n, F.lit(0)),
+                        ),
+                        # NOTE: close over n via default arg OUTSIDE the
+                        # 2-param (element, index) trap
+                        _gram_at(words, n),
+                    )
+                    for n in range(1, ngram_max + 1)
+                ]
+            )
+        )
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram")).filter(
+        F.length("gram") > 0
+    )
+    return g.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
+            F.lit(N_BUCKETS),
+        ).alias("bucket"),
+    )
+
+
+def _gram_at(words, n: int):
+    """n-gram-at-index lambda with n bound eagerly (a 2-parameter
+    lambda would silently receive the ARRAY INDEX as its second arg)."""
+
+    def f(i):
+        if n == 1:
+            return F.element_at(words, i + 1)
+        return F.when(
+            i + n <= F.size(words), F.array_join(F.slice(words, i + 1, n), " ")
+        )
+
+    return f
+
+
+def bucket_distribution(docs: DataFrame, ngram_max: int = 2) -> DataFrame:
+    """→ (bucket, cnt): hashed-gram bucket counts — at most N_BUCKETS
+    rows regardless of corpus size (map-side combinable groupBy on a
+    uniform key)."""
+    return hashed_grams(docs, ngram_max).groupBy("bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    ngram_max: int = 2,
+    alpha: float = ALPHA,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, n_grams, logw): per raw-corpus doc, the DSIR log
+    importance weight Σ_b c_b · [ln p_target(b) − ln p_raw(b)] over
+    hashed n-gram bucket counts with add-alpha smoothing.  Docs whose
+    normalized text is empty emit no row (no grams — the shingle-stage
+    contract).
+
+    The raw distribution is estimated from ``raw`` itself and the
+    target one from ``target`` (the paper's recipe).  Both are
+    B-bounded aggs; the joined log-ratio table has exactly B rows and
+    broadcasts.
+
+    The raw gram stream (the big frame — one row per word n-gram
+    occurrence) is consumed exactly ONCE: it folds into the per-doc
+    bucket counts, which are materialized (``use_local_checkpoint`` —
+    the dedup.py escape-hatch convention) and from which both the raw
+    bucket distribution and the raw total re-aggregate (B-bounded /
+    scalar, map-side combinable) instead of re-running the
+    scan→explode upstream per reference."""
+    B = N_BUCKETS
+    per_doc = _materialize(
+        hashed_grams(raw, ngram_max)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c")),
+        use_local_checkpoint,
+    )
+    raw_dist = per_doc.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("r_cnt")
+    )
+    tgt_dist = bucket_distribution(target, ngram_max).withColumnRenamed(
+        "cnt", "t_cnt"
+    )
+    # full B-row frame so buckets unseen on either side still get their
+    # smoothed mass; totals enter as scalar subquery-style crossjoins
+    # of single-row aggregates (broadcast, no data-scale shuffle)
+    buckets = raw.sparkSession.range(B).select(F.col("id").alias("bucket"))
+    r_tot = raw_dist.agg(F.sum("r_cnt").alias("r_tot"))
+    t_tot = tgt_dist.agg(F.sum("t_cnt").alias("t_tot"))
+    ratio = (
+        buckets.join(F.broadcast(raw_dist), "bucket", "left")
+        .join(F.broadcast(tgt_dist), "bucket", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("t_tot"), F.lit(0)) + F.lit(alpha * B))
+                )
+                - F.log(
+                    (F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("r_tot"), F.lit(0)) + F.lit(alpha * B))
+                ),
+                9,
+            ).alias("logratio"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("logratio")), 4).alias("logw"),
+        )
+    )
+
+
+def select_top_k(
+    weights: DataFrame, k: int, use_local_checkpoint: bool = True
+) -> DataFrame:
+    """→ weights + ``selected``: deterministic top-k by (logw desc,
+    doc_id asc) — the resampling step made reproducible (the paper
+    adds Gumbel noise; a seeded variant belongs to the caller).  The
+    top-k id set is k-bounded (TakeOrdered — no single-partition sort
+    of the corpus) and broadcasts back onto the full frame, which is
+    materialized first (both branches read it — un-cut, the whole
+    weight DAG would run twice)."""
+    weights = _materialize(weights, use_local_checkpoint)
+    top = (
+        weights.orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return (
+        weights.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "logw",
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+    )

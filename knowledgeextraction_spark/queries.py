@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .broadcast import weights_broadcast
-from .operators import dedup, similarity, textstats
+from .operators import dedup, selection, similarity, textstats
 from .operators.conlleval import conll_eval
 from .operators.segment import packed_records, sentence_table
 from .sources import pages as pages_src
@@ -1418,6 +1418,90 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 """
 
 
+DSIR_TOP_K = 100
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.py): per raw-corpus
+    doc, Σ_b c_b·[ln p_target(b) − ln p_raw(b)] over hashed
+    unigram+bigram bucket counts, plus a deterministic top-k
+    ``selected`` flag — the domain-targeting rank step of a
+    pretraining-data pipeline (Xie et al. 2023).  Target = the
+    decontaminate query's benchmark split (every DECONTAM_MOD-th doc),
+    raw = the rest.  Both distributions are N_BUCKETS-bounded aggs;
+    the log-ratio table broadcasts; one groupBy(doc_id) folds the
+    weight.  Oracle: same split, same md5-prefix buckets, same
+    two-stage 9dp/4dp quantization."""
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) != 0)
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) == 0)
+    w = selection.importance_weights(raw, target)
+    return selection.select_top_k(w, DSIR_TOP_K).orderBy("doc_id")
+
+
+def sql_dsir_weights() -> str:
+    B = selection.N_BUCKETS
+    a = selection.ALPHA
+
+    def grams(src: str) -> str:
+        return f"""
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_concat(
+      words,
+      [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]
+    )) AS gram
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+          FROM {src} d) w
+  ) g WHERE length(gram) > 0"""
+
+    raw_src = f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0)"
+    tgt_src = f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} = 0)"
+    return f"""
+WITH raw_g AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {B} AS bucket
+  FROM ({grams(raw_src)}) rg
+),
+tgt_g AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {B} AS bucket
+  FROM ({grams(tgt_src)}) tg
+),
+raw_d AS (SELECT bucket, count(*) AS r_cnt FROM raw_g GROUP BY bucket),
+tgt_d AS (SELECT bucket, count(*) AS t_cnt FROM tgt_g GROUP BY bucket),
+tots AS (
+  SELECT (SELECT count(*) FROM raw_g) AS r_tot,
+         (SELECT count(*) FROM tgt_g) AS t_tot
+),
+ratio AS (
+  SELECT b.range AS bucket,
+         round(ln((coalesce(t_cnt, 0) + {a}) / (t_tot + {a * B}))
+             - ln((coalesce(r_cnt, 0) + {a}) / (r_tot + {a * B})), 9) AS logratio
+  FROM range({B}) b
+  LEFT JOIN raw_d ON raw_d.bucket = b.range
+  LEFT JOIN tgt_d ON tgt_d.bucket = b.range
+  CROSS JOIN tots
+),
+per_doc AS (
+  SELECT doc_id, bucket, count(*) AS c FROM raw_g GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         round(sum(c * logratio), 4) AS logw
+  FROM per_doc JOIN ratio USING (bucket) GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+  FROM w
+)
+SELECT w.doc_id, w.n_grams, w.logw,
+       (ranked.rn <= {DSIR_TOP_K}) AS selected
+FROM w JOIN ranked ON ranked.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -2787,6 +2871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "dsir_weights": q_dsir_weights,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -2871,6 +2956,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": sql_dedup_jaccard(),
     "decontaminate": sql_decontaminate(),
     "repetition_stats": sql_repetition_stats(),
+    "dsir_weights": sql_dsir_weights(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

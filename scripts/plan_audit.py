@@ -35,6 +35,7 @@ AUDIT = [
     "dedup_lsh_pairs",
     "dedup_jaccard",
     "decontaminate",
+    "dsir_weights",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -119,6 +120,19 @@ Commentary (what the counts mean for the 100 TB plan):
   `dedup_simhash_pairs` is the same shape on the simhash side: the
   pigeonhole (band, value) equality self-join replaces the all-pairs
   hamming scan.
+- **dsir_weights**: the raw gram stream (the big frame) is consumed
+  exactly once — it folds into checkpointed per-doc bucket counts from
+  which the raw distribution and total re-aggregate (B-bounded /
+  scalar, map-side combinable); the B-row log-ratio table enters the
+  per-doc fold as a broadcast join, and the top-k flag is a k-bounded
+  TakeOrdered broadcast back onto the checkpointed weight frame.  The
+  only data-scale shuffles are groupBy(doc_id, bucket) and
+  groupBy(doc_id) — linear in gram volume, skewless keys.  The low
+  audited count is the lineage-cut artifact (same as pagerank): the
+  final plan is the broadcast top-k flag join + output orderBy; the
+  upstream (run once behind the checkpoints) additionally holds the
+  two data-scale shuffles above plus the intentional single-row
+  scalar-total crossjoins (broadcast, bounded).
 - **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
   linear in duplicate mass, CC over it); the stats branch is pure
   narrow Catalyst; the final verdict⋈stats join is on the unique

@@ -831,3 +831,88 @@ def test_repetition_stats_planted(spark):
         assert all(
             row[c] == 0.0 for c in row.asDict() if c != "doc_id"
         ), row
+
+
+def test_dsir_importance_weights_vs_python(spark):
+    """DSIR importance weights (operators/selection.py) vs a pure-python
+    hashed-gram oracle: exact logw parity on a themed fixture, the
+    on-target > off-target ranking, and deterministic top-k tie-break."""
+    import hashlib
+    import math
+    import re
+
+    from knowledgeextraction_spark.operators import selection
+
+    raw_rows = [
+        (1, "stocks and bonds and stocks rallied"),
+        (2, "the game went to extra innings"),
+        (3, "bonds yields fell as stocks rallied"),
+        (4, "  "),  # empty after normalization: no grams, no output row
+    ]
+    tgt_rows = [
+        (10, "Stocks rallied while bonds fell"),
+        (11, "yields on bonds and stocks"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    def grams(text):
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            if w
+        ]
+        return words + [
+            " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+        ]
+
+    def bucket(g):
+        h = hashlib.md5(g.encode()).hexdigest()[:15]
+        return int(h, 16) % selection.N_BUCKETS
+
+    B, a = selection.N_BUCKETS, selection.ALPHA
+    raw_b = {d: [bucket(g) for g in grams(t)] for d, t in raw_rows}
+    tgt_b = [bucket(g) for _, t in tgt_rows for g in grams(t)]
+    r_cnt, t_cnt = {}, {}
+    for bs in raw_b.values():
+        for b in bs:
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+    for b in tgt_b:
+        t_cnt[b] = t_cnt.get(b, 0) + 1
+    r_tot, t_tot = sum(r_cnt.values()), len(tgt_b)
+    ratio = {
+        b: round(
+            math.log((t_cnt.get(b, 0) + a) / (t_tot + a * B))
+            - math.log((r_cnt.get(b, 0) + a) / (r_tot + a * B)),
+            9,
+        )
+        for b in range(B)
+    }
+    want = {
+        d: round(sum(ratio[b] for b in bs), 4)
+        for d, bs in raw_b.items()
+        if bs
+    }
+
+    got = {
+        r["doc_id"]: r
+        for r in selection.importance_weights(raw, target).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    for d, logw in want.items():
+        assert got[d]["logw"] == pytest.approx(logw, abs=2e-4), d
+        assert got[d]["n_grams"] == len(raw_b[d])
+    # finance-themed raw docs outrank the off-target sports doc
+    assert got[1]["logw"] > got[2]["logw"]
+    assert got[3]["logw"] > got[2]["logw"]
+
+    # top-k: ties on logw break by doc_id asc, flag covers the full frame
+    w = spark.createDataFrame(
+        [(1, 5, 2.0), (2, 5, 3.0), (3, 5, 2.0)],
+        "doc_id long, n_grams long, logw double",
+    )
+    sel = {
+        r["doc_id"]: r["selected"]
+        for r in selection.select_top_k(w, 2).collect()
+    }
+    assert sel == {1: True, 2: True, 3: False}
