@@ -567,3 +567,124 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplicated text (the ExactSubstr family, Lee et al. 2021
+# "Deduplicating Training Data Makes Language Models Better"): find the
+# REGIONS of a doc whose text also appears in other docs, not just
+# whole-doc copies.  The paper builds a single-node suffix array; the
+# distributed shape here is positional k-grams — a word k-gram occurring
+# in >= min_docs distinct docs marks its k word positions as duplicated,
+# and maximal runs of duplicated start positions merge into spans.  A
+# span of >= k duplicated-gram starts recovers exactly the shared
+# substrings of >= k words (every window inside a shared substring is
+# shared), so this is the suffix-array answer at k-word resolution,
+# with no suffix sorting and no pair enumeration: one distinct on
+# (gram, doc), one B-unbounded-but-uniform groupBy(gram), one 1:1
+# enrichment join back, one per-doc window.  Hot boilerplate grams
+# cost one df row each, never a pair blow-up — linear in gram volume
+# at any corpus size.
+
+DUP_SPAN_K = 5  # span resolution: word k-grams (the paper uses 50 BPE tokens)
+MIN_DUP_DOCS = 2
+
+
+def positional_shingle_table(docs: DataFrame, n: int = DUP_SPAN_K) -> DataFrame:
+    """→ (doc_id, pos, gram): EVERY word n-gram occurrence with its
+    0-based start-word position (no distinct — positions matter here,
+    unlike ``shingle_table``).  Docs with fewer than n words emit
+    nothing."""
+    words = F.split(normalized_text(), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.when(
+                i + n <= F.size(words),
+                F.array_join(F.slice(words, i + 1, n), " "),
+            ).alias("gram"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(structs).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull() & (F.length("gram") > 0))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = DUP_SPAN_K,
+    min_docs: int = MIN_DUP_DOCS,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, start_word, end_word): maximal word spans (0-based,
+    inclusive) covered by n-grams that occur in >= ``min_docs``
+    DISTINCT docs.  Adjacent/overlapping duplicated gram starts merge
+    (lag-gap segmentation per doc); a run of starts p1..p2 covers
+    words p1..p2+n-1.  Within-doc repetition alone does NOT mark a
+    span (distinct-doc frequency — ``repetition_stats`` owns the
+    within-doc signal)."""
+    from pyspark.sql import Window
+
+    pg = _materialize(positional_shingle_table(docs, n), use_local_checkpoint)
+    dup_g = (
+        pg.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    dp = pg.join(dup_g, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = dp.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > 1, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("seg_id", F.sum("brk").over(w))
+    return seg.groupBy("doc_id", "seg_id").agg(
+        F.min("pos").cast("long").alias("start_word"),
+        (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_word"),
+    ).select("doc_id", "start_word", "end_word")
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = DUP_SPAN_K,
+    min_docs: int = MIN_DUP_DOCS,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, n_spans, dup_words, total_words, dup_word_frac): one
+    row per input doc (zero-filled when nothing is duplicated) — the
+    per-doc verdict a span-dedup pass gates on (e.g. drop or trim docs
+    whose dup_word_frac exceeds a budget)."""
+    spans = duplicated_spans(docs, n, min_docs, use_local_checkpoint)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("end_word") - F.col("start_word") + 1)
+        .cast("long")
+        .alias("dup_words"),
+    )
+    norm = normalized_text()
+    totals = docs.select(
+        "doc_id",
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("total_words"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+        "total_words",
+        F.round(
+            F.coalesce("dup_words", F.lit(0))
+            / F.greatest("total_words", F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+    )

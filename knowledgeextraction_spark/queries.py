@@ -1502,6 +1502,77 @@ ORDER BY w.doc_id
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicated text (dedup.dup_span_stats — the
+    distributed ExactSubstr analog, Lee et al. 2021): per doc over
+    documents ∪ replicas, the maximal word spans whose
+    ``DUP_SPAN_K``-grams occur in ≥2 distinct docs, summarized as
+    (n_spans, dup_words, total_words, dup_word_frac).  Replicated docs
+    read dup_word_frac = 1.0 (every window shared with the replica);
+    within-doc repetition alone scores 0 (distinct-doc frequency).
+    Oracle: same positional grams / lag-gap merge in window SQL."""
+    return dedup.dup_span_stats(_docs_with_replicas(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def sql_dedup_spans() -> str:
+    n = dedup.DUP_SPAN_K
+    m = dedup.MIN_DUP_DOCS
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH wt AS (
+  SELECT doc_id, string_split({norm}, ' ') AS words
+  FROM {_DOCS_REPL_SQL} d
+),
+pg AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1,
+                    'gram': array_to_string(words[i:i+{n - 1}], ' ')}}
+                   for i in range(1, len(words) - {n} + 2)]) AS u
+    FROM wt WHERE len(words) >= {n}
+  ) x
+),
+dup_g AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM pg) gd
+  GROUP BY gram HAVING count(*) >= {m}
+),
+dp AS (SELECT doc_id, pos FROM pg JOIN dup_g USING (gram)),
+seg AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dp) l
+),
+spans AS (
+  SELECT doc_id, min(pos) AS start_word, max(pos) + {n - 1} AS end_word
+  FROM seg GROUP BY doc_id, seg_id
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(end_word - start_word + 1) AS dup_words
+  FROM spans GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id,
+         CASE WHEN length({norm}) = 0 THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS total_words
+  FROM {_DOCS_REPL_SQL} d
+)
+SELECT t.doc_id,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(dup_words, 0) AS BIGINT) AS dup_words,
+       CAST(total_words AS BIGINT) AS total_words,
+       round(coalesce(dup_words, 0) / greatest(total_words, 1), 6)
+         AS dup_word_frac
+FROM totals t LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -2872,6 +2943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "dsir_weights": q_dsir_weights,
+    "dedup_spans": q_dedup_spans,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -2957,6 +3029,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": sql_decontaminate(),
     "repetition_stats": sql_repetition_stats(),
     "dsir_weights": sql_dsir_weights(),
+    "dedup_spans": sql_dedup_spans(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -36,6 +36,7 @@ AUDIT = [
     "dedup_jaccard",
     "decontaminate",
     "dsir_weights",
+    "dedup_spans",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -133,6 +134,13 @@ Commentary (what the counts mean for the 100 TB plan):
   upstream (run once behind the checkpoints) additionally holds the
   two data-scale shuffles above plus the intentional single-row
   scalar-total crossjoins (broadcast, bounded).
+- **dedup_spans**: positional-gram table checkpointed once (both the
+  document-frequency agg and the join-back read it); duplicated-gram
+  marking is one distinct + one uniform groupBy(gram) + a 1:1
+  enrichment join (no row explosion — the dup-gram side is unique per
+  gram); span merging is a per-doc window (shuffle on doc_id,
+  skewless, sort bounded by doc length).  Linear in gram volume —
+  the suffix-array-free ExactSubstr shape.
 - **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
   linear in duplicate mass, CC over it); the stats branch is pure
   narrow Catalyst; the final verdict⋈stats join is on the unique

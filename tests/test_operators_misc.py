@@ -916,3 +916,45 @@ def test_dsir_importance_weights_vs_python(spark):
         for r in selection.select_top_k(w, 2).collect()
     }
     assert sel == {1: True, 2: True, 3: False}
+
+
+def test_duplicated_spans_planted(spark):
+    """Span-level dedup (dedup.duplicated_spans/dup_span_stats): exact
+    merged-span boundaries for a cross-doc shared sentence, two
+    disjoint spans in one doc, within-doc-only repetition scoring
+    zero, and sub-k docs emitting no grams."""
+    from knowledgeextraction_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over fence"  # 7 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, shared),
+            (3, "one two three four five six one two three four five six"),
+            (4, "tiny text"),
+            (5, f"{shared} x1 x2 x3 {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["start_word"], r["end_word"])
+        for r in dedup.duplicated_spans(docs).collect()
+    )
+    # k=5 gram starts inside the shared 7-word run merge to one span
+    assert spans == [(1, 2, 8), (2, 0, 6), (5, 0, 6), (5, 10, 16)]
+
+    got = {
+        r["doc_id"]: r for r in dedup.dup_span_stats(docs).collect()
+    }
+    assert len(got) == 5
+    assert (got[1]["n_spans"], got[1]["dup_words"], got[1]["total_words"]) == (
+        1, 7, 11,
+    )
+    assert got[1]["dup_word_frac"] == pytest.approx(round(7 / 11, 6))
+    assert got[2]["dup_word_frac"] == 1.0
+    # within-doc repetition alone is NOT span-duplication (df counts docs)
+    assert (got[3]["n_spans"], got[3]["total_words"]) == (0, 12)
+    assert (got[4]["n_spans"], got[4]["dup_words"], got[4]["total_words"]) == (
+        0, 0, 2,
+    )
+    assert (got[5]["n_spans"], got[5]["dup_words"]) == (2, 14)
