@@ -51,6 +51,11 @@ HEADLINE = [
     "text_stats",
     "repetition_stats",
     "decontaminate",
+    "dsir_weights",
+    "dedup_spans",
+    "c4_clean",
+    "pii_scrub",
+    "domain_sample",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

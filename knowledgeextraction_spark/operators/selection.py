@@ -197,3 +197,59 @@ def select_top_k(
             F.coalesce("selected", F.lit(False)).alias("selected"),
         )
     )
+
+
+DOMAIN_WORD_BUDGET = 1000
+
+
+def domain_sample(
+    docs: DataFrame, budget_words: int = DOMAIN_WORD_BUDGET
+) -> DataFrame:
+    """→ (doc_id, source, n_words, frac, sampled): deterministic
+    per-domain downsampling to a word budget (the Dolma/C4 "don't let
+    one domain dominate the mix" step).  Each source's keep fraction is
+    ``min(1, budget / source_words)``; a doc is kept when its
+    md5(doc_id) uniform draw falls under the fraction — no window, no
+    per-source sort, no skew: the per-source word totals are a
+    sources-bounded map-side-combinable agg broadcast back, and the
+    keep test is a narrow expression.  A 10⁹-doc domain costs exactly
+    what a 10²-doc domain costs per row.
+
+    The md5 draw, the division, and the comparison are integer-fed
+    IEEE ops — bit-identical across engines (the dsir/simhash md5
+    convention), so the boolean is oracle-exact; ``frac`` is reported
+    rounded to 6 dp but compared unrounded."""
+    norm = normalized_text()
+    n_words = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
+    sized = docs.select("doc_id", "source", n_words.alias("n_words"))
+    per_source = sized.groupBy("source").agg(
+        F.sum("n_words").alias("src_words")
+    )
+    frac = F.least(
+        F.lit(1.0), F.lit(float(budget_words)) / F.col("src_words")
+    )
+    draw = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+        / F.lit(1_000_000.0)
+    )
+    return (
+        sized.join(F.broadcast(per_source), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            F.round(frac, 6).alias("frac"),
+            (draw < frac).alias("sampled"),
+        )
+    )

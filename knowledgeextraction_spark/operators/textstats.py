@@ -255,3 +255,86 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for i, c in enumerate(n_cols)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the
+# public "C4" heuristics): keep lines that end in terminal punctuation,
+# have >= 3 words, and don't mention javascript; drop whole pages
+# containing "lorem ipsum" or "{", or with too few sentences after
+# line filtering.  (C4's bad-word list is omitted — no list ships
+# here; the hook is the same kept-line filter.)  Pure Catalyst array
+# lambdas over the line split — narrow, zero shuffle, whole-stage
+# codegen; linear at any corpus size.
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+_C4_LINE_END = '[.!?"]$'
+
+
+def c4_line_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_lines, n_kept, n_sentences, keep, drop_reason,
+    cleaned): line-filtered page text + the page-level C4 verdict.
+    ``cleaned`` joins the KEPT whitespace-normalized lines with \\n;
+    ``drop_reason`` ranks lorem_ipsum ≻ curly_brace ≻
+    too_few_sentences (null when kept)."""
+    raw = F.col(text_col)
+    norm_lines = F.transform(
+        F.split(raw, "\n"),
+        lambda l: F.regexp_replace(F.trim(l), r"\s+", " "),
+    )
+    kept = F.filter(
+        norm_lines,
+        lambda l: l.rlike(_C4_LINE_END)
+        & (F.size(F.split(l, " ")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    lorem = F.lower(raw).contains("lorem ipsum")
+    brace = raw.contains("{")
+    reason = (
+        F.when(lorem, F.lit("lorem_ipsum"))
+        .when(brace, F.lit("curly_brace"))
+        .when(n_sent < C4_MIN_SENTENCES, F.lit("too_few_sentences"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(norm_lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+        cleaned.alias("cleaned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (the C4/Dolma pipeline stage): regex
+# counts on the raw text and a sequentially-redacted copy.  Patterns
+# stay in the RE2 ∩ java.util.regex common dialect (no lookaround) so
+# the DuckDB oracle runs the byte-identical expressions.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_emails, n_ips, n_phones, redacted): match counts on
+    the ORIGINAL text; ``redacted`` replaces in the fixed order email →
+    ip → phone with <EMAIL>/<IP>/<PHONE> (order matters — an email's
+    host part can also match the ip pattern; counting on the original
+    keeps the two signals independent of it).  Narrow Catalyst
+    regexps, zero shuffle."""
+    raw = F.col(text_col)
+    red = F.regexp_replace(raw, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(raw, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        red.alias("redacted"),
+    )

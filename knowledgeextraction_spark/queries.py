@@ -1573,6 +1573,223 @@ ORDER BY doc_id
 """
 
 
+def _paged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-paged into lines for the C4 cleaning query: the
+    flat synthetic text carries no newlines or punctuation, so a
+    deterministic transform (mirrored bit-for-bit in ``_PAGED_SQL``)
+    chunks each doc into 12-word lines where every 7th line mentions
+    javascript, every 3rd lacks terminal punctuation, every 11th doc
+    gains a lorem-ipsum line and every 13th a curly-brace line —
+    exercising every C4 branch."""
+    d = _docs(spark, sf_dir)
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(12.0)).cast("int"), F.lit(1)
+    )
+
+    def line_at(i):
+        chunk = F.array_join(F.slice(words, i * 12 + 1, 12), " ")
+        return F.concat(
+            chunk,
+            F.when(i % 7 == 0, F.lit(" javascript click here."))
+            .when(i % 3 != 0, F.lit("."))
+            .otherwise(F.lit("")),
+        )
+
+    paged = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), n_chunks - 1), line_at), "\n"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\n{ config }")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select("doc_id", paged.alias("text"))
+
+
+_PAGED_SQL = """(
+SELECT doc_id,
+       array_to_string([array_to_string(words[i*12+1 : i*12+12], ' ') ||
+                        (CASE WHEN i % 7 = 0 THEN ' javascript click here.'
+                              WHEN i % 3 <> 0 THEN '.' ELSE '' END)
+                        for i in range(0, greatest(CAST(ceil(len(words)/12.0) AS INT), 1))],
+                       chr(10))
+       || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+       || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ config }' ELSE '' END) AS text
+FROM (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+      FROM documents d) w)"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level page cleaning (textstats.c4_line_stats, Raffel et
+    al. 2020 §2.2) over the re-paged documents: kept-line counts,
+    sentence count, page keep/drop verdict with ranked reason, and the
+    md5 of the cleaned text.  Narrow Catalyst array lambdas — zero
+    shuffle beyond the output orderBy."""
+    s = textstats.c4_line_stats(_paged_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_sentences",
+        "keep",
+        "drop_reason",
+        F.md5("cleaned").alias("cleaned_hash"),
+    ).orderBy("doc_id")
+
+
+def sql_c4_clean() -> str:
+    minw = textstats.C4_MIN_WORDS_PER_LINE
+    mins = textstats.C4_MIN_SENTENCES
+    return f"""
+WITH pages AS {_PAGED_SQL},
+norm AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)),
+                        l -> regexp_replace(trim(l), '\\s+', ' ', 'g')) AS nl
+  FROM pages
+),
+k AS (
+  SELECT doc_id, text, nl,
+         list_filter(nl, l -> regexp_matches(l, '[.!?"]$')
+                          AND len(string_split(l, ' ')) >= {minw}
+                          AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM norm
+),
+c AS (
+  -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+  SELECT doc_id, nl, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+         len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS n_sent,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{{') AS brace
+  FROM k
+),
+v AS (
+  SELECT doc_id, nl, kept, cleaned, n_sent,
+         CASE WHEN lorem THEN 'lorem_ipsum'
+              WHEN brace THEN 'curly_brace'
+              WHEN n_sent < {mins} THEN 'too_few_sentences' END AS drop_reason
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(nl) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       drop_reason IS NULL AS keep,
+       drop_reason,
+       md5(cleaned) AS cleaned_hash
+FROM v ORDER BY doc_id
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII injections (mirrored in
+    ``_PII_SQL``): every 5th doc an email, every 7th an IPv4, every
+    9th a phone number."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" server 10.2."),
+                (did % 200).cast("string"),
+                F.lit(".7 up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+_PII_SQL = """(
+SELECT doc_id,
+       text
+       || (CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0
+                THEN ' server 10.2.' || (doc_id % 200)::VARCHAR || '.7 up'
+                ELSE '' END)
+       || (CASE WHEN doc_id % 9 = 0 THEN ' call 555-867-5309' ELSE '' END)
+         AS text
+FROM documents d)"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (textstats.pii_stats) over documents
+    with injected emails/IPs/phones: per-doc match counts on the
+    original text and the md5 of the sequentially-redacted copy.
+    Patterns live in the RE2 ∩ java regex common dialect so the DuckDB
+    oracle runs byte-identical expressions."""
+    s = textstats.pii_stats(_pii_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("redacted").alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+def sql_pii_scrub() -> str:
+    e, i, p = textstats.PII_EMAIL, textstats.PII_IP, textstats.PII_PHONE
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{e}', '<EMAIL>', 'g'),
+             '{i}', '<IP>', 'g'),
+             '{p}', '<PHONE>', 'g')) AS redacted_hash
+FROM {_PII_SQL} d ORDER BY doc_id
+"""
+
+
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain word-budget downsampling (selection.domain_sample):
+    each source's keep fraction is min(1, budget/source_words); the
+    per-doc keep test is a deterministic md5 draw — no window, no
+    per-source sort, skew-immune.  Oracle: identical integer-fed md5
+    arithmetic."""
+    return selection.domain_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_domain_sample() -> str:
+    b = selection.DOMAIN_WORD_BUDGET
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length({norm}) = 0 THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS BIGINT) AS n_words
+  FROM documents d
+),
+ps AS (SELECT source, CAST(sum(n_words) AS BIGINT) AS src_words
+       FROM sized GROUP BY source)
+SELECT doc_id, source, n_words,
+       round(least(1.0, {b} / src_words), 6) AS frac,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+         / 1000000.0 < least(1.0, {b} / src_words) AS sampled
+FROM sized JOIN ps USING (source) ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -2944,6 +3161,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "dsir_weights": q_dsir_weights,
     "dedup_spans": q_dedup_spans,
+    "c4_clean": q_c4_clean,
+    "pii_scrub": q_pii_scrub,
+    "domain_sample": q_domain_sample,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3030,6 +3250,9 @@ ORACLES: dict[str, str] = {
     "repetition_stats": sql_repetition_stats(),
     "dsir_weights": sql_dsir_weights(),
     "dedup_spans": sql_dedup_spans(),
+    "c4_clean": sql_c4_clean(),
+    "pii_scrub": sql_pii_scrub(),
+    "domain_sample": sql_domain_sample(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -37,6 +37,9 @@ AUDIT = [
     "decontaminate",
     "dsir_weights",
     "dedup_spans",
+    "c4_clean",
+    "pii_scrub",
+    "domain_sample",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -141,6 +144,11 @@ Commentary (what the counts mean for the 100 TB plan):
   gram); span merging is a per-doc window (shuffle on doc_id,
   skewless, sort bounded by doc length).  Linear in gram volume —
   the suffix-array-free ExactSubstr shape.
+- **c4_clean / pii_scrub**: pure narrow Catalyst (array lambdas /
+  regexps) — the only exchange is the output orderBy.
+  **domain_sample**: one sources-bounded groupBy + a broadcast join
+  back; the md5 keep draw is a narrow expression (no window, no
+  per-source sort — skew-immune).
 - **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
   linear in duplicate mass, CC over it); the stats branch is pure
   narrow Catalyst; the final verdict⋈stats join is on the unique

@@ -958,3 +958,102 @@ def test_duplicated_spans_planted(spark):
         0, 0, 2,
     )
     assert (got[5]["n_spans"], got[5]["dup_words"]) == (2, 14)
+
+
+def test_c4_line_stats_planted(spark):
+    """C4 line filter (textstats.c4_line_stats): exact kept-line set,
+    sentence count, and ranked page drop reasons on hand-built pages."""
+    from knowledgeextraction_spark.operators.textstats import c4_line_stats
+
+    good = "this is a perfectly fine sentence."
+    docs = spark.createDataFrame(
+        [
+            # kept lines: 5 terminal-punct 3+-word lines -> page kept
+            (1, "\n".join([good, "short.", "no punct here at all",
+                           "enable javascript to view this page.",
+                           good, good, "is it a question?", good])),
+            # enough lines but lorem ipsum anywhere drops the page first
+            (2, "\n".join([good] * 6 + ["Lorem Ipsum dolor."])),
+            # curly brace ranks after lorem
+            (3, "\n".join([good] * 6 + ["var x = { a: 1 };"])),
+            # only 2 sentences survive -> too_few_sentences
+            (4, "\n".join([good, good, "and then some trailing junk"])),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_line_stats(docs).collect()}
+
+    r = got[1]
+    # dropped: "short." (<3 words), "no punct...", javascript line
+    assert (r["n_lines"], r["n_kept"]) == (8, 5)
+    assert r["n_sentences"] == 5 and r["keep"] and r["drop_reason"] is None
+    assert r["cleaned"] == "\n".join([good, good, good, "is it a question?", good])
+
+    assert (got[2]["keep"], got[2]["drop_reason"]) == (False, "lorem_ipsum")
+    assert (got[3]["keep"], got[3]["drop_reason"]) == (False, "curly_brace")
+    assert got[3]["n_kept"] == 6  # the brace line itself is also unkept
+    assert (got[4]["n_kept"], got[4]["drop_reason"]) == (2, "too_few_sentences")
+    assert (got[5]["n_lines"], got[5]["n_kept"], got[5]["cleaned"]) == (1, 0, "")
+
+
+def test_pii_stats_planted(spark):
+    """PII scrub (textstats.pii_stats): exact counts on the original
+    text and the exact sequentially-redacted string, including the
+    email-before-ip ordering case."""
+    from knowledgeextraction_spark.operators.textstats import pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.org or x@y.io, host 192.168.0.1 "
+                "and call 555-123-4567 twice 555-123-4567"),
+            # user@IP is NOT an email (the TLD must be alphabetic) —
+            # only the IP pattern fires
+            (2, "root@10.0.0.1 says hi"),
+            (3, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    r = got[1]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 1, 2)
+    assert r["redacted"] == (
+        "mail <EMAIL> or <EMAIL>, host <IP> and call <PHONE> twice <PHONE>"
+    )
+    assert (got[2]["n_emails"], got[2]["n_ips"]) == (0, 1)
+    assert got[2]["redacted"] == "root@<IP> says hi"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[3]["redacted"] == "no pii at all"
+
+
+def test_domain_sample_vs_python(spark):
+    """Domain-budget sampling (selection.domain_sample): fracs and
+    sampled flags replicate the python md5-draw arithmetic; a
+    within-budget source keeps everything."""
+    import hashlib
+
+    from knowledgeextraction_spark.operators import selection
+
+    rows = [
+        (i, "big", " ".join(f"w{j}" for j in range(20))) for i in range(30)
+    ] + [(100 + i, "small", "a b c") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in selection.domain_sample(docs, budget_words=120).collect()
+    }
+    assert len(got) == 33
+
+    def draw(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+        return (int(h, 16) % 1_000_000) / 1_000_000
+
+    frac_big = 120 / 600.0
+    for i in range(30):
+        assert got[i]["frac"] == round(frac_big, 6)
+        assert got[i]["sampled"] == (draw(i) < frac_big), i
+    # small source is under budget: frac 1.0, everything kept
+    for i in range(3):
+        assert got[100 + i]["frac"] == 1.0 and got[100 + i]["sampled"]
+    n_big = sum(got[i]["sampled"] for i in range(30))
+    assert 0 < n_big < 30  # the draw actually thins the big source
