@@ -56,6 +56,7 @@ HEADLINE = [
     "c4_clean",
     "pii_scrub",
     "domain_sample",
+    "pack_chunks",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -253,3 +253,72 @@ def domain_sample(
             (draw < frac).alias("sampled"),
         )
     )
+
+
+N_PACK_SHARDS = 32
+CHUNK_TOKENS = 256  # fixture-scale; production uses the model context (2k-8k)
+
+
+def pack_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    n_shards: int = N_PACK_SHARDS,
+) -> DataFrame:
+    """→ (doc_id, shard, n_tokens, start_tok, first_chunk, last_chunk):
+    GPT-style concatenate-and-slice packing — the final assembly stage
+    of a pretraining pipeline: docs concatenate in a deterministic
+    order and the stream is cut every ``chunk_tokens`` tokens (docs may
+    straddle a cut; ``first_chunk``/``last_chunk`` give the covered
+    chunk range per doc).
+
+    A single global running sum would serialize the corpus, so packing
+    is SHARD-LOCAL (the standard practice — each writer task owns a
+    shard): shard = md5(doc_id) mod ``n_shards``, docs ordered by
+    doc_id within the shard, ``start_tok`` the exclusive prefix sum of
+    whitespace-token counts.  One shuffle on the uniform shard key;
+    the per-shard window sort is the only ordered step and shards are
+    corpus/n_shards-sized — raise ``n_shards`` with the cluster.
+    Empty docs occupy zero tokens but still report their insertion
+    point."""
+    from pyspark.sql import Window
+
+    norm = normalized_text()
+    n_tokens = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_shards),
+    )
+    sized = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    out = sized.withColumn("start_tok", start)
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / chunk_tokens)
+        .cast("long")
+        .alias("first_chunk"),
+        F.floor(
+            F.greatest(
+                F.col("start_tok"),
+                F.col("start_tok") + F.col("n_tokens") - 1,
+            )
+            / chunk_tokens
+        )
+        .cast("long")
+        .alias("last_chunk"),
+    )

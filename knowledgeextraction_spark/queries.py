@@ -1790,6 +1790,43 @@ FROM sized JOIN ps USING (source) ORDER BY doc_id
 """
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-slice packing (selection.pack_chunks):
+    docs assigned to fixed-token training chunks within md5 hash
+    shards — per doc the shard, token count, exclusive prefix start
+    offset, and covered chunk range.  One shuffle on the uniform shard
+    key; the per-shard window is the only ordered step.  Oracle: same
+    window arithmetic in SQL."""
+    return selection.pack_chunks(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_pack_chunks() -> str:
+    s = selection.N_PACK_SHARDS
+    c = selection.CHUNK_TOKENS
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {s} AS shard,
+         CAST(CASE WHEN length({norm}) = 0 THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents d
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS start_tok
+  FROM sized
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, start_tok,
+       CAST(floor(start_tok / {c}) AS BIGINT) AS first_chunk,
+       CAST(floor(greatest(start_tok, start_tok + n_tokens - 1) / {c})
+            AS BIGINT) AS last_chunk
+FROM cum ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3164,6 +3201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "pii_scrub": q_pii_scrub,
     "domain_sample": q_domain_sample,
+    "pack_chunks": q_pack_chunks,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3253,6 +3291,7 @@ ORACLES: dict[str, str] = {
     "c4_clean": sql_c4_clean(),
     "pii_scrub": sql_pii_scrub(),
     "domain_sample": sql_domain_sample(),
+    "pack_chunks": sql_pack_chunks(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

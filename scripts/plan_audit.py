@@ -40,6 +40,7 @@ AUDIT = [
     "c4_clean",
     "pii_scrub",
     "domain_sample",
+    "pack_chunks",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -148,7 +149,9 @@ Commentary (what the counts mean for the 100 TB plan):
   regexps) — the only exchange is the output orderBy.
   **domain_sample**: one sources-bounded groupBy + a broadcast join
   back; the md5 keep draw is a narrow expression (no window, no
-  per-source sort — skew-immune).
+  per-source sort — skew-immune).  **pack_chunks**: one shuffle on
+  the uniform md5 shard key + a per-shard running-sum window — the
+  shard count bounds the longest sort, not the corpus.
 - **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
   linear in duplicate mass, CC over it); the stats branch is pure
   narrow Catalyst; the final verdict⋈stats join is on the unique

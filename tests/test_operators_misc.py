@@ -1057,3 +1057,42 @@ def test_domain_sample_vs_python(spark):
         assert got[100 + i]["frac"] == 1.0 and got[100 + i]["sampled"]
     n_big = sum(got[i]["sampled"] for i in range(30))
     assert 0 < n_big < 30  # the draw actually thins the big source
+
+
+def test_pack_chunks_vs_python(spark):
+    """Chunk packing (selection.pack_chunks): shard assignment, prefix
+    sums, and chunk ranges replicate the python mirror; empty docs
+    occupy zero tokens with a degenerate one-chunk range."""
+    import hashlib
+
+    from knowledgeextraction_spark.operators import selection
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))) for i in range(40)]
+    rows.append((40, "   "))  # empty after normalization
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in selection.pack_chunks(docs, chunk_tokens=5, n_shards=4).collect()
+    }
+    assert len(got) == 41
+
+    def shard(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 4
+
+    toks = {i: (i % 7 + 1) for i in range(40)}
+    toks[40] = 0
+    starts = {}
+    for s in range(4):
+        acc = 0
+        for i in sorted(d for d in toks if shard(d) == s):
+            starts[i] = acc
+            acc += toks[i]
+    for i, r in got.items():
+        assert r["shard"] == shard(i)
+        assert r["n_tokens"] == toks[i], i
+        assert r["start_tok"] == starts[i], i
+        assert r["first_chunk"] == starts[i] // 5
+        last = max(starts[i], starts[i] + toks[i] - 1)
+        assert r["last_chunk"] == last // 5
+    assert got[40]["n_tokens"] == 0
+    assert got[40]["first_chunk"] == got[40]["last_chunk"]
