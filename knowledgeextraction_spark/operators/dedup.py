@@ -70,6 +70,19 @@ def normalized_text(col="text"):
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
+def word_count(col="text"):
+    """whitespace-token count of the normalized text, with the empty
+    string counting 0 (split('') yields [''], size 1 — the quirk every
+    caller must dodge the same way).  The ONE word-count convention —
+    mirrored by queries._WORD_COUNT_SQL."""
+    norm = normalized_text(col)
+    return (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
+
+
 def _materialize(df: DataFrame, use_local_checkpoint: bool) -> DataFrame:
     """Lineage cut for a multiply-referenced frame (the triangle_count
     lesson: un-cut, every plan reference re-runs the whole upstream).
@@ -622,11 +635,14 @@ def duplicated_spans(
 ) -> DataFrame:
     """→ (doc_id, start_word, end_word): maximal word spans (0-based,
     inclusive) covered by n-grams that occur in >= ``min_docs``
-    DISTINCT docs.  Adjacent/overlapping duplicated gram starts merge
-    (lag-gap segmentation per doc); a run of starts p1..p2 covers
-    words p1..p2+n-1.  Within-doc repetition alone does NOT mark a
-    span (distinct-doc frequency — ``repetition_stats`` owns the
-    within-doc signal)."""
+    DISTINCT docs.  A duplicated gram start p covers words p..p+n-1,
+    so two starts belong to the same span whenever their COVERAGE is
+    contiguous — gap in starts ≤ n — and a new segment begins only at
+    a start gap > n (a gap of 2..n still overlaps/abuts; breaking
+    there would emit overlapping spans whose lengths double-count).
+    A merged run p1..p2 covers exactly words p1..p2+n-1.  Within-doc
+    repetition alone does NOT mark a span (distinct-doc frequency —
+    ``repetition_stats`` owns the within-doc signal)."""
     from pyspark.sql import Window
 
     pg = _materialize(positional_shingle_table(docs, n), use_local_checkpoint)
@@ -642,7 +658,7 @@ def duplicated_spans(
     w = Window.partitionBy("doc_id").orderBy("pos")
     seg = dp.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) > 1, F.lit(1)).otherwise(
+        F.when(F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)).otherwise(
             F.lit(0)
         ),
     ).withColumn("seg_id", F.sum("brk").over(w))
@@ -669,14 +685,7 @@ def dup_span_stats(
         .cast("long")
         .alias("dup_words"),
     )
-    norm = normalized_text()
-    totals = docs.select(
-        "doc_id",
-        F.when(F.length(norm) == 0, F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
-        .cast("long")
-        .alias("total_words"),
-    )
+    totals = docs.select("doc_id", word_count().alias("total_words"))
     return totals.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),

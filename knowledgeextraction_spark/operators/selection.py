@@ -33,10 +33,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _materialize, normalized_text
+from .dedup import _materialize, normalized_text, word_count
 
 N_BUCKETS = 1024
 ALPHA = 1.0  # add-alpha smoothing over the bucket space
+
+
+def md5_mod(col, modulus: int):
+    """The ONE cross-engine uniform-hash convention: first 15 md5 hex
+    digits (< 2^60, BIGINT-safe) as an integer mod ``modulus`` —
+    byte-equivalent to DuckDB's ``('0x' || substr(md5(x), 1, 15))
+    ::BIGINT % m``.  Every bucket/draw/shard key in this module routes
+    through here so the convention cannot drift per call site."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.lit(modulus),
+    )
 
 
 def hashed_grams(docs: DataFrame, ngram_max: int = 2) -> DataFrame:
@@ -66,13 +78,7 @@ def hashed_grams(docs: DataFrame, ngram_max: int = 2) -> DataFrame:
     g = docs.select("doc_id", F.explode(grams).alias("gram")).filter(
         F.length("gram") > 0
     )
-    return g.select(
-        "doc_id",
-        F.pmod(
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
-            F.lit(N_BUCKETS),
-        ).alias("bucket"),
-    )
+    return g.select("doc_id", md5_mod(F.col("gram"), N_BUCKETS).alias("bucket"))
 
 
 def _gram_at(words, n: int):
@@ -203,7 +209,9 @@ DOMAIN_WORD_BUDGET = 1000
 
 
 def domain_sample(
-    docs: DataFrame, budget_words: int = DOMAIN_WORD_BUDGET
+    docs: DataFrame,
+    budget_words: int = DOMAIN_WORD_BUDGET,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """→ (doc_id, source, n_words, frac, sampled): deterministic
     per-domain downsampling to a word budget (the Dolma/C4 "don't let
@@ -219,29 +227,20 @@ def domain_sample(
     IEEE ops — bit-identical across engines (the dsir/simhash md5
     convention), so the boolean is oracle-exact; ``frac`` is reported
     rounded to 6 dp but compared unrounded."""
-    norm = normalized_text()
-    n_words = (
-        F.when(F.length(norm) == 0, F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
-        .cast("long")
+    # sized feeds both the per-source agg and the final join — cut the
+    # lineage so the scan + normalize + split runs once, not twice
+    sized = _materialize(
+        docs.select("doc_id", "source", word_count().alias("n_words")),
+        use_local_checkpoint,
     )
-    sized = docs.select("doc_id", "source", n_words.alias("n_words"))
     per_source = sized.groupBy("source").agg(
         F.sum("n_words").alias("src_words")
     )
     frac = F.least(
         F.lit(1.0), F.lit(float(budget_words)) / F.col("src_words")
     )
-    draw = (
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1_000_000),
-        )
-        / F.lit(1_000_000.0)
+    draw = md5_mod(F.col("doc_id").cast("string"), 1_000_000) / F.lit(
+        1_000_000.0
     )
     return (
         sized.join(F.broadcast(per_source), "source")
@@ -282,20 +281,10 @@ def pack_chunks(
     point."""
     from pyspark.sql import Window
 
-    norm = normalized_text()
-    n_tokens = (
-        F.when(F.length(norm) == 0, F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
-        .cast("long")
-    )
-    shard = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long"),
-        F.lit(n_shards),
-    )
     sized = docs.select(
-        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+        "doc_id",
+        md5_mod(F.col("doc_id").cast("string"), n_shards).alias("shard"),
+        word_count().alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

@@ -88,6 +88,12 @@ _DOCS_REPL_SQL = (
 # diverge between engines or between oracles (CLAUDE.md invariant)
 _NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _CONTENT_HASH_SQL = f"md5({_NORM_TEXT_SQL})"
+# the ONE word-count convention ('' splits to [''], size 1 — counted 0);
+# mirrors operators/dedup.word_count
+_WORD_COUNT_SQL = (
+    f"CASE WHEN length({_NORM_TEXT_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_TEXT_SQL}, ' ')) END"
+)
 
 # doc-world sentence delimiters (word_mapping maps 'a'→'，', 'the'→'。')
 _DOC_DELIMS = "，。"
@@ -1450,8 +1456,7 @@ def sql_dsir_weights() -> str:
       words,
       [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]
     )) AS gram
-    FROM (SELECT doc_id,
-                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
           FROM {src} d) w
   ) g WHERE length(gram) > 0"""
 
@@ -1519,10 +1524,9 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_dedup_spans() -> str:
     n = dedup.DUP_SPAN_K
     m = dedup.MIN_DUP_DOCS
-    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     return f"""
 WITH wt AS (
-  SELECT doc_id, string_split({norm}, ' ') AS words
+  SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
   FROM {_DOCS_REPL_SQL} d
 ),
 pg AS (
@@ -1540,8 +1544,10 @@ dup_g AS (
 ),
 dp AS (SELECT doc_id, pos FROM pg JOIN dup_g USING (gram)),
 seg AS (
+  -- a start gap of 2..n still has contiguous word coverage: break
+  -- only past n, or the emitted spans overlap and double-count
   SELECT doc_id, pos,
-         sum(CASE WHEN pos - prev > 1 THEN 1 ELSE 0 END)
+         sum(CASE WHEN pos - prev > {n} THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
   FROM (SELECT doc_id, pos,
                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
@@ -1557,9 +1563,7 @@ per_doc AS (
   FROM spans GROUP BY doc_id
 ),
 totals AS (
-  SELECT doc_id,
-         CASE WHEN length({norm}) = 0 THEN 0
-              ELSE len(string_split({norm}, ' ')) END AS total_words
+  SELECT doc_id, {_WORD_COUNT_SQL} AS total_words
   FROM {_DOCS_REPL_SQL} d
 )
 SELECT t.doc_id,
@@ -1610,7 +1614,7 @@ def _paged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", paged.alias("text"))
 
 
-_PAGED_SQL = """(
+_PAGED_SQL = f"""(
 SELECT doc_id,
        array_to_string([array_to_string(words[i*12+1 : i*12+12], ' ') ||
                         (CASE WHEN i % 7 = 0 THEN ' javascript click here.'
@@ -1618,9 +1622,8 @@ SELECT doc_id,
                         for i in range(0, greatest(CAST(ceil(len(words)/12.0) AS INT), 1))],
                        chr(10))
        || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
-       || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ config }' ELSE '' END) AS text
-FROM (SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+       || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{{ config }}' ELSE '' END) AS text
+FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
       FROM documents d) w)"""
 
 
@@ -1772,12 +1775,9 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_domain_sample() -> str:
     b = selection.DOMAIN_WORD_BUDGET
-    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     return f"""
 WITH sized AS (
-  SELECT doc_id, source,
-         CAST(CASE WHEN length({norm}) = 0 THEN 0
-              ELSE len(string_split({norm}, ' ')) END AS BIGINT) AS n_words
+  SELECT doc_id, source, CAST({_WORD_COUNT_SQL} AS BIGINT) AS n_words
   FROM documents d
 ),
 ps AS (SELECT source, CAST(sum(n_words) AS BIGINT) AS src_words
@@ -1803,13 +1803,11 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pack_chunks() -> str:
     s = selection.N_PACK_SHARDS
     c = selection.CHUNK_TOKENS
-    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     return f"""
 WITH sized AS (
   SELECT doc_id,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {s} AS shard,
-         CAST(CASE WHEN length({norm}) = 0 THEN 0
-              ELSE len(string_split({norm}, ' ')) END AS BIGINT) AS n_tokens
+         CAST({_WORD_COUNT_SQL} AS BIGINT) AS n_tokens
   FROM documents d
 ),
 cum AS (

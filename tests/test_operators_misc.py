@@ -933,6 +933,12 @@ def test_duplicated_spans_planted(spark):
             (3, "one two three four five six one two three four five six"),
             (4, "tiny text"),
             (5, f"{shared} x1 x2 x3 {shared}"),
+            # gap-2 case: doc 6's dup starts are {0, 2} (pos 1's gram
+            # is unique) — coverage overlaps, so ONE span, not two
+            # overlapping ones that would double-count words
+            (6, "a b c d e f g"),
+            (7, "a b c d e"),
+            (8, "c d e f g"),
         ],
         "doc_id long, text string",
     )
@@ -941,12 +947,19 @@ def test_duplicated_spans_planted(spark):
         for r in dedup.duplicated_spans(docs).collect()
     )
     # k=5 gram starts inside the shared 7-word run merge to one span
-    assert spans == [(1, 2, 8), (2, 0, 6), (5, 0, 6), (5, 10, 16)]
+    assert spans == [
+        (1, 2, 8), (2, 0, 6), (5, 0, 6), (5, 10, 16),
+        (6, 0, 6), (7, 0, 4), (8, 0, 4),
+    ]
 
     got = {
         r["doc_id"]: r for r in dedup.dup_span_stats(docs).collect()
     }
-    assert len(got) == 5
+    assert len(got) == 8
+    # spans never overlap: the duplicated-word fraction is a fraction
+    assert all(r["dup_word_frac"] <= 1.0 for r in got.values())
+    assert (got[6]["n_spans"], got[6]["dup_words"]) == (1, 7)
+    assert got[6]["dup_word_frac"] == 1.0
     assert (got[1]["n_spans"], got[1]["dup_words"], got[1]["total_words"]) == (
         1, 7, 11,
     )
