@@ -57,6 +57,8 @@ HEADLINE = [
     "pii_scrub",
     "domain_sample",
     "pack_chunks",
+    "host_boilerplate",
+    "lm_perplexity",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

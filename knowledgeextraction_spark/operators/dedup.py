@@ -697,3 +697,102 @@ def dup_span_stats(
             6,
         ).alias("dup_word_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate line removal (the CCNet / RefinedWeb "strip the
+# nav bars, cookie banners and footers" stage, Wenzek et al. 2019 §4.1,
+# Penedo et al. 2023 §3.2): a line whose normalized form appears in a
+# large enough FRACTION of a single source's documents is template
+# chrome, not content — remove it from every page of that source and
+# reassemble the remaining lines in order.  Cross-doc but host-local:
+# all keys carry the source, so nothing ever aggregates across hosts.
+#
+# Scale shape: one posexplode (narrow), one map-side-combinable
+# count-distinct groupBy on the uniform (source, line) key, a
+# sources-bounded doc-count broadcast, one enrichment join of the line
+# stream against the flagged set on the same (source, line) key, one
+# groupBy(doc_id) reassembly.  A nav line repeated on 10^9 pages of one
+# host is ONE group row — no pair enumeration anywhere; linear in line
+# volume at any corpus size.  The threshold test is pure integer
+# arithmetic (100·line_docs >= pct·src_docs) — oracle-exact.
+
+BOILER_MIN_DOCS = 2
+BOILER_PCT = 25  # a line in >= 25% of a source's docs is boilerplate
+
+
+def normalized_line(col):
+    """per-LINE whitespace normalization (trim + collapse) — the line
+    analog of ``normalized_text``; mirrored in the c4/boilerplate
+    oracles."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def host_boilerplate_stats(
+    docs: DataFrame,
+    min_docs: int = BOILER_MIN_DOCS,
+    pct: int = BOILER_PCT,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, source, n_lines, n_boiler, boiler_frac, cleaned):
+    per doc, total line count, the number of lines flagged as source
+    boilerplate (normalized line present in >= ``min_docs`` distinct
+    docs AND >= ``pct``% of the source's docs), their fraction
+    (rounded 6 dp), and the page text reassembled from the KEPT lines
+    in original order.  Empty normalized lines are never flagged (every
+    page has them; they carry no template signal) but count in
+    ``n_lines``.  Input needs (doc_id, source, text).
+
+    The exploded line stream feeds both the count and the reassembly —
+    materialized once (``use_local_checkpoint`` — the dedup escape
+    hatch convention)."""
+    lines = _materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", "\n")).alias("pos", "raw"),
+        ).select(
+            "doc_id", "source", "pos", normalized_line(F.col("raw")).alias("line")
+        ),
+        use_local_checkpoint,
+    )
+    src_docs = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("src_docs")
+    )
+    boiler = (
+        lines.filter(F.length("line") > 0)
+        .groupBy("source", "line")
+        .agg(F.countDistinct("doc_id").alias("line_docs"))
+        .join(F.broadcast(src_docs), "source")
+        .filter(
+            (F.col("line_docs") >= min_docs)
+            & (F.col("line_docs") * 100 >= F.col("src_docs") * pct)
+        )
+        .select("source", "line", F.lit(True).alias("boiler"))
+    )
+    flagged = lines.join(boiler, ["source", "line"], "left").select(
+        "doc_id",
+        "source",
+        "pos",
+        "line",
+        F.coalesce("boiler", F.lit(False)).alias("boiler"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("boiler").cast("long")).cast("long").alias("n_boiler"),
+        # when() without otherwise -> null for boiler lines; collect_list
+        # drops nulls, array_sort orders the structs by pos
+        F.array_sort(
+            F.collect_list(F.when(~F.col("boiler"), F.struct("pos", "line")))
+        ).alias("kept"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias("boiler_frac"),
+        F.array_join(
+            F.transform(F.col("kept"), lambda x: x["line"]), "\n"
+        ).alias("cleaned"),
+    )

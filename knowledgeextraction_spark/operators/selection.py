@@ -311,3 +311,146 @@ def pack_chunks(
         .cast("long")
         .alias("last_chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM perplexity bucketing (the CCNet quality stage, Wenzek et
+# al. 2019 §4.3): score every document by its negative log-likelihood
+# under a smoothed bigram language model trained on a reference corpus,
+# then split the corpus into head / middle / tail TERCILES of the score
+# distribution (CCNet trains KenLM on Wikipedia; the engine analog is
+# an add-alpha bigram model trained on any DataFrame of docs).
+#
+# Scale shape: the count model is two groupBys on uniform gram keys
+# (bigram counts; prefix counts fold FROM the bigram table, so the
+# train stream is read once); scoring is two shuffle joins of the doc
+# bigram stream against those count tables plus one groupBy(doc_id) —
+# all linear, no pairs.  The tercile boundaries come from an EXACT
+# distributed quantile: scores land on a fixed 1e-4 grid, so the
+# histogram groupBy is grid-bounded (~2·10^5 rows for any corpus size)
+# and the single cumulative window runs over that bounded table, never
+# over the corpus.  Boundary tests are integer arithmetic
+# (3·cum >= k·N) — no float thresholds.
+#
+# Cross-engine determinism: per-gram log-probs quantized to 9 dp before
+# the per-doc fold, the folded mean to 4 dp after (the dsir/pagerank
+# two-stage quantization pattern).
+
+LM_ALPHA = 1.0
+
+
+def _bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, w1, w2): one row per adjacent word pair of the
+    normalized text.  Docs with fewer than two words emit nothing."""
+    words = F.split(normalized_text(), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0)))
+    structs = F.transform(
+        idx,
+        lambda i: F.when(
+            i + 2 <= F.size(words),
+            F.struct(
+                F.element_at(words, i + 1).alias("w1"),
+                F.element_at(words, i + 2).alias("w2"),
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(structs).alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+
+
+def bigram_lm_nll(
+    train: DataFrame,
+    score: DataFrame,
+    alpha: float = LM_ALPHA,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, n_bigrams, nll): per ``score`` doc, the mean
+    add-alpha bigram negative log-likelihood under counts from
+    ``train``:  -mean ln[(c(w1,w2)+a) / (c(w1·)+a·V)] with V the
+    distinct-continuation vocabulary of the train bigrams.  Prefix
+    counts c(w1·) fold from the bigram count table (one pass over the
+    train stream); a w1 unseen in train scores ln(a/(a·V)) = -ln V.
+    Docs with <2 words emit no row (no bigrams — the shingle-stage
+    contract)."""
+    bc = _materialize(
+        _bigram_occurrences(train)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("bc")),
+        use_local_checkpoint,
+    )
+    uc = bc.groupBy("w1").agg(F.sum("bc").cast("long").alias("uc"))
+    vocab = bc.agg(F.countDistinct("w2").cast("long").alias("v"))
+    per_pair = (
+        _bigram_occurrences(score)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+        ),
+        9,
+    )
+    return (
+        per_pair.select("doc_id", "c", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(F.col("c") * F.col("logp")) / F.sum("c"), 4).alias(
+                "nll"
+            ),
+        )
+    )
+
+
+def nll_terciles(
+    scores: DataFrame, use_local_checkpoint: bool = True
+) -> DataFrame:
+    """→ scores + ``bucket``: head / middle / tail by EXACT terciles of
+    the 4-dp-quantized nll distribution (head = lowest perplexity, the
+    CCNet keep set).  The histogram groupBy is bounded by the 1e-4
+    score grid, so the one unpartitioned cumulative window runs over a
+    ~10^5-row table regardless of corpus size; boundaries are the
+    smallest grid values whose cumulative count reaches N/3 and 2N/3
+    (3·cum >= k·N integer tests), broadcast back onto the full frame.
+    ``scores`` is materialized first — histogram, total and the final
+    join all read it."""
+    from pyspark.sql import Window
+
+    scores = _materialize(scores, use_local_checkpoint)
+    hist = scores.groupBy("nll").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("nll").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = scores.agg(F.count("*").cast("long").alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n"), F.col("nll"))
+            ).alias("b1"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll"))
+            ).alias("b2"),
+        )
+    )
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll",
+            F.when(F.col("nll") <= F.col("b1"), F.lit("head"))
+            .when(F.col("nll") <= F.col("b2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

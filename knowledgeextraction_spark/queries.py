@@ -1825,6 +1825,164 @@ FROM cum ORDER BY doc_id
 """
 
 
+def _hosted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-paged with per-SOURCE template chrome for the host
+    boilerplate query (mirrored bit-for-bit in ``_HOSTED_SQL``): a nav
+    line on every doc of the source (always boilerplate), the doc text
+    as the content line, a copyright footer on every 2nd doc (~50% —
+    above the 25% bar) and a newsletter plug on every 5th (~20% —
+    below it).  concat_ws skips the null CASE arms in both engines."""
+    d = _docs(spark, sf_dir)
+    src = F.col("source")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("home about contact "), src),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("copyright "), src, F.lit(" all rights reserved.")),
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("subscribe to "), src, F.lit(" newsletter.")),
+        ),
+    )
+    return d.select("doc_id", "source", text.alias("text"))
+
+
+_HOSTED_SQL = """(
+SELECT doc_id, source,
+       concat_ws(chr(10),
+         'home about contact ' || source,
+         text,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'copyright ' || source || ' all rights reserved.' END,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to ' || source || ' newsletter.' END) AS text
+FROM documents d)"""
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate line removal (dedup.host_boilerplate_stats,
+    the CCNet/RefinedWeb template-stripping stage) over documents with
+    injected per-source nav/footer chrome: line counts, flagged
+    boilerplate count + fraction, and the md5 of the page reassembled
+    from kept lines.  One count-distinct groupBy on (source, line), a
+    broadcast source-size join, one enrichment join, one reassembly
+    groupBy — no pair enumeration; the threshold is integer
+    arithmetic, oracle-exact."""
+    s = dedup.host_boilerplate_stats(_hosted_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_boiler",
+        "boiler_frac",
+        F.md5("cleaned").alias("cleaned_hash"),
+    ).orderBy("doc_id")
+
+
+def sql_host_boilerplate() -> str:
+    m = dedup.BOILER_MIN_DOCS
+    p = dedup.BOILER_PCT
+    return f"""
+WITH pages AS {_HOSTED_SQL},
+lines AS (
+  SELECT doc_id, source, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, source,
+           unnest([{{'pos': i - 1,
+                    'line': regexp_replace(trim(ls[i]), '\\s+', ' ', 'g')}}
+                   for i in range(1, len(ls) + 1)]) AS u
+    FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+          FROM pages) t
+  ) x
+),
+sd AS (SELECT source, count(DISTINCT doc_id) AS src_docs
+       FROM pages GROUP BY source),
+bl AS (
+  SELECT source, line, count(DISTINCT doc_id) AS line_docs
+  FROM lines WHERE length(line) > 0 GROUP BY source, line
+),
+boiler AS (
+  SELECT source, line, TRUE AS boiler FROM bl JOIN sd USING (source)
+  WHERE line_docs >= {m} AND line_docs * 100 >= src_docs * {p}
+),
+fl AS (SELECT l.doc_id, l.source, l.pos, l.line,
+              coalesce(b.boiler, FALSE) AS boiler
+       FROM lines l LEFT JOIN boiler b USING (source, line)),
+pd AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         coalesce(array_to_string(
+           list(line ORDER BY pos) FILTER (WHERE NOT boiler), chr(10)),
+           '') AS cleaned
+  FROM fl GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_lines, n_boiler,
+       round(n_boiler / n_lines, 6) AS boiler_frac,
+       md5(cleaned) AS cleaned_hash
+FROM pd ORDER BY doc_id
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (selection.bigram_lm_nll +
+    nll_terciles): per-doc mean negative log-likelihood under an
+    add-alpha bigram model trained on the corpus itself, split into
+    head/middle/tail by EXACT terciles of the 4-dp score grid (the
+    histogram window runs over the bounded grid, never the corpus)."""
+    d = _docs(spark, sf_dir)
+    return selection.nll_terciles(selection.bigram_lm_nll(d, d)).orderBy(
+        "doc_id"
+    )
+
+
+def sql_lm_perplexity() -> str:
+    a = selection.LM_ALPHA
+    return f"""
+WITH bg AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest([{{'w1': words[i], 'w2': words[i + 1]}}
+                   for i in range(1, len(words))]) AS u
+    FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
+          FROM documents d) t
+  ) x WHERE length(w1) > 0 AND length(w2) > 0
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+       FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS uc FROM bc GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+pp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+       FROM bg GROUP BY doc_id, w1, w2),
+scored AS (
+  SELECT doc_id, c,
+         round(ln((coalesce(bc, 0) + {a}) / (coalesce(uc, 0) + {a} * v)), 9)
+           AS logp
+  FROM pp LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v
+),
+sc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         round(-sum(c * logp) / sum(c), 4) AS nll
+  FROM scored GROUP BY doc_id
+),
+hist AS (SELECT nll, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY nll),
+cum AS (SELECT nll, sum(c) OVER (ORDER BY nll) AS cum FROM hist),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+bounds AS (
+  SELECT min(CASE WHEN cum * 3 >= n THEN nll END) AS b1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN nll END) AS b2
+  FROM cum CROSS JOIN tot
+)
+SELECT doc_id, n_bigrams, nll,
+       CASE WHEN nll <= b1 THEN 'head'
+            WHEN nll <= b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc CROSS JOIN bounds ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3200,6 +3358,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "domain_sample": q_domain_sample,
     "pack_chunks": q_pack_chunks,
+    "host_boilerplate": q_host_boilerplate,
+    "lm_perplexity": q_lm_perplexity,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3290,6 +3450,8 @@ ORACLES: dict[str, str] = {
     "pii_scrub": sql_pii_scrub(),
     "domain_sample": sql_domain_sample(),
     "pack_chunks": sql_pack_chunks(),
+    "host_boilerplate": sql_host_boilerplate(),
+    "lm_perplexity": sql_lm_perplexity(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -41,6 +41,8 @@ AUDIT = [
     "pii_scrub",
     "domain_sample",
     "pack_chunks",
+    "host_boilerplate",
+    "lm_perplexity",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -152,6 +154,21 @@ Commentary (what the counts mean for the 100 TB plan):
   per-source sort — skew-immune).  **pack_chunks**: one shuffle on
   the uniform md5 shard key + a per-shard running-sum window — the
   shard count bounds the longest sort, not the corpus.
+- **host_boilerplate**: the exploded line stream is checkpointed once
+  (count branch + reassembly branch both read it); flagging is one
+  map-side-combinable count-distinct groupBy on the uniform
+  (source, line) key joined against the sources-bounded doc-count
+  broadcast; the enrichment join back and the reassembly groupBy both
+  key on doc-scale uniform keys — a nav line on 10⁹ pages of one host
+  is one group row, never a pair set.
+- **lm_perplexity**: two uniform-gram-key count groupBys (bigram
+  counts; prefix counts fold FROM the bigram table — the train stream
+  is scanned once behind the checkpoint) + two shuffle joins of the
+  scoring gram stream + one groupBy(doc_id).  The tercile machinery's
+  single-partition window is over the 1e-4-GRID-bounded histogram
+  (~10⁵ rows max at any corpus size), not the corpus — the
+  single-partition exchanges in the count are that bounded table and
+  the scalar total/boundary broadcasts.
 - **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
   linear in duplicate mass, CC over it); the stats branch is pure
   narrow Catalyst; the final verdict⋈stats join is on the unique

@@ -1109,3 +1109,105 @@ def test_pack_chunks_vs_python(spark):
         assert r["last_chunk"] == last // 5
     assert got[40]["n_tokens"] == 0
     assert got[40]["first_chunk"] == got[40]["last_chunk"]
+
+
+# --------------------------------------------------------------------------
+# per-host boilerplate line removal (planted template chrome)
+# --------------------------------------------------------------------------
+
+
+def test_host_boilerplate_planted(spark):
+    from knowledgeextraction_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # source a (4 docs): nav on all 4, copyright on 2 (50%),
+            # unique content lines; doc 3 has an empty line (never
+            # flagged, survives into cleaned)
+            (1, "a", "Nav  Home\ncontent one\ncopy right a"),
+            (2, "a", "Nav Home\ncontent two\ncopy right a"),
+            (3, "a", "Nav Home\ncontent three\n\nrare line"),
+            (4, "a", "Nav Home\ncontent four"),
+            # source b (2 docs): nav appears in only ONE doc — blocked
+            # by min_docs even though 1/2 = 50% clears the pct bar
+            (5, "b", "Nav Home\nbee content"),
+            (6, "b", "other stuff"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.host_boilerplate_stats(docs).collect()
+    }
+    assert len(got) == 6
+    # doc 1: nav (normalized 'Nav Home' — double space collapses) +
+    # copyright flagged, content kept
+    assert (got[1]["n_lines"], got[1]["n_boiler"]) == (3, 2)
+    assert got[1]["cleaned"] == "content one"
+    assert got[1]["boiler_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    # doc 3: empty line counted, never flagged, kept in order
+    assert (got[3]["n_lines"], got[3]["n_boiler"]) == (4, 1)
+    assert got[3]["cleaned"] == "content three\n\nrare line"
+    # doc 4: only the nav goes
+    assert got[4]["cleaned"] == "content four"
+    # source b: nav NOT flagged (1 doc < min_docs)
+    assert got[5]["n_boiler"] == 0
+    assert got[5]["cleaned"] == "Nav Home\nbee content"
+
+    # pct boundary is >= and integer-exact: copyright is 2 of 4 docs —
+    # flagged at pct=50 (200 >= 200), unflagged at pct=51
+    at50 = {
+        r["doc_id"]: r["n_boiler"]
+        for r in dedup.host_boilerplate_stats(docs, pct=50).collect()
+    }
+    assert at50[1] == 2
+    at51 = {
+        r["doc_id"]: r["n_boiler"]
+        for r in dedup.host_boilerplate_stats(docs, pct=51).collect()
+    }
+    assert at51[1] == 1  # nav (100%) still in; copyright out
+
+
+# --------------------------------------------------------------------------
+# bigram LM perplexity + exact terciles (hand-computed oracle)
+# --------------------------------------------------------------------------
+
+
+def test_bigram_lm_nll_planted(spark):
+    import math
+
+    from knowledgeextraction_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a b a b"),
+            (3, "x y"),
+            (4, "solo"),  # <2 words: no bigrams, no row
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    # train bigram counts: ab=3, ba=1, xy=1; prefix counts a=3, b=1,
+    # x=1; V = |{b, a, y}| = 3; alpha=1
+    lp_ab = round(math.log((3 + 1) / (3 + 3)), 9)
+    lp_ba = round(math.log((1 + 1) / (1 + 3)), 9)
+    lp_xy = round(math.log((1 + 1) / (1 + 3)), 9)
+    want = {
+        1: (1, round(-lp_ab, 4)),
+        2: (3, round(-(2 * lp_ab + lp_ba) / 3, 4)),
+        3: (1, round(-lp_xy, 4)),
+    }
+    scores = selection.bigram_lm_nll(docs, docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in scores.collect()
+    }
+    assert got == want
+
+    # exact terciles over the three distinct scores: one doc per bucket,
+    # ordered head < middle < tail
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in selection.nll_terciles(scores).collect()
+    }
+    assert buckets == {1: "head", 2: "middle", 3: "tail"}
