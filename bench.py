@@ -59,6 +59,7 @@ HEADLINE = [
     "pack_chunks",
     "host_boilerplate",
     "lm_perplexity",
+    "quality_classifier",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

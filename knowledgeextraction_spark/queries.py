@@ -1507,6 +1507,103 @@ ORDER BY w.doc_id
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine TRAINED quality classifier
+    (selection.quality_lr_scores, the GPT-3/LLaMA quality-filter
+    stage): logistic regression over tf-normalized hashed n-gram
+    buckets, fit by LR_ITERS diagonally-preconditioned full-batch
+    gradient rounds against the deterministic lang=='en' label
+    (~0.88 train accuracy vs the 0.56 base rate), scored back over
+    the corpus.  Two linear shuffles per round, B-bounded broadcast
+    weights; every reduction 9-dp-quantized so the training
+    trajectory is engine-portable.  Oracle: the identical recurrence
+    unrolled as materialized DuckDB CTEs (the pagerank pattern)."""
+    d = _docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    s = selection.quality_lr_scores(d, labels)
+    return (
+        s.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("long").alias("label"),
+            "score",
+            "prob",
+            (F.col("prob") >= 0.5).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_quality_classifier() -> str:
+    B = selection.N_BUCKETS
+    lr = selection.LR_RATE
+    dp = selection.LR_DP
+    eps = selection.LR_EPS
+    bias = selection.BIAS_BUCKET
+    grams = f"""
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_concat(
+      words,
+      [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]
+    )) AS gram
+    FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
+          FROM documents d) w
+  ) g WHERE length(gram) > 0"""
+    iters = "".join(
+        f""",
+s{k} AS MATERIALIZED (
+  SELECT doc_id, round(sum(x * w), {dp}) AS s
+  FROM feat JOIN w{k} USING (bucket) GROUP BY doc_id
+),
+r{k} AS MATERIALIZED (
+  SELECT doc_id, round(1 / (1 + exp(-s)), {dp}) - y AS r
+  FROM s{k} JOIN labels USING (doc_id)
+),
+g{k} AS MATERIALIZED (
+  SELECT bucket, round(sum(x * r / nd.n), {dp}) AS gr
+  FROM feat JOIN r{k} USING (doc_id) CROSS JOIN nd GROUP BY bucket
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT bucket, round(w - {lr!r} * gr / (0.25 * h + {eps!r}), {dp}) AS w
+  FROM w{k} JOIN g{k} USING (bucket) JOIN hh USING (bucket)
+)"""
+        for k in range(selection.LR_ITERS)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {B} AS bucket
+  FROM ({grams}) gg
+),
+cnt AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c
+        FROM g GROUP BY doc_id, bucket),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+labels AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+feat AS MATERIALIZED (
+  SELECT doc_id, bucket, c / n AS x FROM cnt JOIN tot USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST({bias} AS BIGINT) AS bucket, 1.0 AS x FROM documents
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labels),
+hh AS MATERIALIZED (
+  SELECT bucket, round(sum(x * x / nd.n), {dp}) AS h
+  FROM feat CROSS JOIN nd GROUP BY bucket
+),
+w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM feat){iters},
+sf AS (
+  SELECT doc_id, round(sum(x * w), {dp}) AS s
+  FROM feat JOIN w{selection.LR_ITERS} USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, CAST(y AS BIGINT) AS label,
+       round(s, 6) AS score,
+       round(1 / (1 + exp(-s)), 6) AS prob,
+       round(1 / (1 + exp(-s)), 6) >= 0.5 AS pred
+FROM sf JOIN labels USING (doc_id) ORDER BY doc_id
+"""
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplicated text (dedup.dup_span_stats — the
     distributed ExactSubstr analog, Lee et al. 2021): per doc over
@@ -3360,6 +3457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "host_boilerplate": q_host_boilerplate,
     "lm_perplexity": q_lm_perplexity,
+    "quality_classifier": q_quality_classifier,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3452,6 +3550,7 @@ ORACLES: dict[str, str] = {
     "pack_chunks": sql_pack_chunks(),
     "host_boilerplate": sql_host_boilerplate(),
     "lm_perplexity": sql_lm_perplexity(),
+    "quality_classifier": sql_quality_classifier(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

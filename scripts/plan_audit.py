@@ -43,6 +43,7 @@ AUDIT = [
     "pack_chunks",
     "host_boilerplate",
     "lm_perplexity",
+    "quality_classifier",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -169,6 +170,16 @@ Commentary (what the counts mean for the 100 TB plan):
   (~10⁵ rows max at any corpus size), not the corpus — the
   single-partition exchanges in the count are that bounded table and
   the scalar total/boundary broadcasts.
+- **quality_classifier**: per training round, the feature table (one
+  row per doc×bucket, materialized once) joins the B-bounded
+  broadcast weight table and folds to per-doc margins (uniform
+  groupBy(doc_id)), residuals join back and fold to per-bucket
+  gradients (B-bounded groupBy) — two linear shuffles per round, and
+  the weight frame's lineage is cut per round (the pagerank pattern),
+  so the audited final plan is the last round + scoring.  The
+  diagonal preconditioner is one extra B-bounded agg computed once.
+  Nothing driver-sized: weights and preconditioner are <=B+1-row
+  broadcasts.
 - **corpus_clean**: the dedup branch is dedup_keep's plan (edge set
   linear in duplicate mass, CC over it); the stats branch is pure
   narrow Catalyst; the final verdict⋈stats join is on the unique

@@ -1211,3 +1211,47 @@ def test_bigram_lm_nll_planted(spark):
         for r in selection.nll_terciles(scores).collect()
     }
     assert buckets == {1: "head", 2: "middle", 3: "tail"}
+
+
+# --------------------------------------------------------------------------
+# trained quality classifier (planted separable corpus)
+# --------------------------------------------------------------------------
+
+
+def test_quality_lr_separates_planted(spark):
+    from pyspark.sql import functions as SF
+
+    from knowledgeextraction_spark.operators import selection
+
+    # two classes with disjoint vocabularies — a linear model over
+    # hashed grams must separate them on the train set
+    good = [f"alpha beta gamma delta w{i} epsilon zeta" for i in range(8)]
+    junk = [f"uno dos tres cuatro v{i} cinco seis" for i in range(8)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(good)]
+        + [(100 + i, t) for i, t in enumerate(junk)],
+        "doc_id long, text string",
+    )
+    labels = docs.select(
+        "doc_id", (SF.col("doc_id") < 100).cast("double").alias("y")
+    )
+    scored = selection.quality_lr_scores(docs, labels)
+    rows = scored.collect()
+    assert len(rows) == 16
+    by_id = {r["doc_id"]: r for r in rows}
+    # perfect separation: every good doc above 0.5, every junk below
+    assert all(by_id[i]["prob"] > 0.5 for i in range(8))
+    assert all(by_id[100 + i]["prob"] < 0.5 for i in range(8))
+    # probabilities are actually confident, not hovering at the base
+    # rate (the un-preconditioned GD failure mode)
+    assert all(by_id[i]["prob"] > 0.7 for i in range(8))
+    assert all(by_id[100 + i]["prob"] < 0.3 for i in range(8))
+
+    # gramless doc still scores (bias feature): no row dropped
+    with_empty = docs.union(
+        spark.createDataFrame([(999, "")], "doc_id long, text string")
+    )
+    labels2 = with_empty.select(
+        "doc_id", (SF.col("doc_id") < 100).cast("double").alias("y")
+    )
+    assert selection.quality_lr_scores(with_empty, labels2).count() == 17
