@@ -60,6 +60,7 @@ HEADLINE = [
     "host_boilerplate",
     "lm_perplexity",
     "quality_classifier",
+    "dedup_span_clean",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -796,3 +796,56 @@ def host_boilerplate_stats(
             F.transform(F.col("kept"), lambda x: x["line"]), "\n"
         ).alias("cleaned"),
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = DUP_SPAN_K,
+    min_docs: int = MIN_DUP_DOCS,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, total_words, removed_words, cleaned): the REMOVE half
+    of ExactSubstr dedup (Lee et al. 2021 drop the shared substring
+    from all but one copy; the engine policy here is the simpler
+    symmetric one — drop every duplicated span everywhere, the
+    "train on unique text only" variant).  Words whose 0-based
+    position falls inside any ``duplicated_spans`` span are cut; the
+    survivors reassemble in order.
+
+    Shape: positional word explode (narrow) + one LEFT ANTI join
+    against the span table on (doc_id, pos ∈ [start, end]) — a hash
+    join on doc_id with a residual range predicate, spans-per-doc
+    bounded — + one groupBy(doc_id) reassembly.  Linear; no pair
+    enumeration anywhere (the span table itself is the linear
+    dedup_spans shape)."""
+    spans = duplicated_spans(docs, n, min_docs, use_local_checkpoint)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text(), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    kept = words.join(
+        spans,
+        (words["doc_id"] == spans["doc_id"])
+        & (words["pos"] >= spans["start_word"])
+        & (words["pos"] <= spans["end_word"]),
+        "left_anti",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("kept_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    totals = docs.select("doc_id", word_count().alias("total_words"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "total_words",
+        (
+            F.col("total_words") - F.coalesce("kept_words", F.lit(0))
+        ).cast("long").alias("removed_words"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )

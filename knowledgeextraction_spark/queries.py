@@ -1618,11 +1618,14 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_dedup_spans() -> str:
+def _span_ctes() -> str:
+    """The shared wt → pg → dup_g → dp → seg → spans CTE chain (the
+    SQL mirror of ``dedup.duplicated_spans``) — used by BOTH
+    sql_dedup_spans and sql_dedup_span_clean so the span semantics
+    cannot drift between the detect and remove oracles."""
     n = dedup.DUP_SPAN_K
     m = dedup.MIN_DUP_DOCS
-    return f"""
-WITH wt AS (
+    return f"""wt AS (
   SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
   FROM {_DOCS_REPL_SQL} d
 ),
@@ -1653,7 +1656,12 @@ seg AS (
 spans AS (
   SELECT doc_id, min(pos) AS start_word, max(pos) + {n - 1} AS end_word
   FROM seg GROUP BY doc_id, seg_id
-),
+)"""
+
+
+def sql_dedup_spans() -> str:
+    return f"""
+WITH {_span_ctes()},
 per_doc AS (
   SELECT doc_id, count(*) AS n_spans,
          sum(end_word - start_word + 1) AS dup_words
@@ -1671,6 +1679,61 @@ SELECT t.doc_id,
          AS dup_word_frac
 FROM totals t LEFT JOIN per_doc USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE half of ExactSubstr dedup
+    (dedup.remove_duplicated_spans, Lee et al. 2021): duplicated word
+    spans are cut from every doc of documents ∪ replicas and the
+    survivors reassemble in order — replicated docs come back empty
+    (their whole text is shared), singletons come back intact.
+    Positional-word anti-join against the span table + one reassembly
+    groupBy — linear.  Oracle: the shared span CTE chain + NOT EXISTS
+    range anti-join."""
+    s = dedup.remove_duplicated_spans(_docs_with_replicas(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "total_words",
+        "removed_words",
+        F.md5("cleaned").alias("cleaned_hash"),
+    ).orderBy("doc_id")
+
+
+def sql_dedup_span_clean() -> str:
+    return f"""
+WITH {_span_ctes()},
+w_pos AS (
+  SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'word': words[i]}}
+                   for i in range(1, len(words) + 1)]) AS u
+    FROM wt
+  ) x WHERE length(word) > 0
+),
+kept AS (
+  SELECT doc_id, pos, word FROM w_pos w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = w.doc_id
+      AND w.pos BETWEEN s.start_word AND s.end_word)
+),
+re AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_words,
+         array_to_string(list(word ORDER BY pos), ' ') AS cleaned
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, {_WORD_COUNT_SQL} AS total_words
+  FROM {_DOCS_REPL_SQL} d
+)
+SELECT t.doc_id,
+       CAST(total_words AS BIGINT) AS total_words,
+       CAST(total_words - coalesce(kept_words, 0) AS BIGINT)
+         AS removed_words,
+       md5(coalesce(cleaned, '')) AS cleaned_hash
+FROM totals t LEFT JOIN re USING (doc_id)
+ORDER BY t.doc_id
 """
 
 
@@ -3458,6 +3521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_boilerplate": q_host_boilerplate,
     "lm_perplexity": q_lm_perplexity,
     "quality_classifier": q_quality_classifier,
+    "dedup_span_clean": q_dedup_span_clean,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3551,6 +3615,7 @@ ORACLES: dict[str, str] = {
     "host_boilerplate": sql_host_boilerplate(),
     "lm_perplexity": sql_lm_perplexity(),
     "quality_classifier": sql_quality_classifier(),
+    "dedup_span_clean": sql_dedup_span_clean(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

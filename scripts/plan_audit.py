@@ -44,6 +44,7 @@ AUDIT = [
     "host_boilerplate",
     "lm_perplexity",
     "quality_classifier",
+    "dedup_span_clean",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
@@ -147,7 +148,10 @@ Commentary (what the counts mean for the 100 TB plan):
   enrichment join (no row explosion — the dup-gram side is unique per
   gram); span merging is a per-doc window (shuffle on doc_id,
   skewless, sort bounded by doc length).  Linear in gram volume —
-  the suffix-array-free ExactSubstr shape.
+  the suffix-array-free ExactSubstr shape.  **dedup_span_clean** (the
+  REMOVE half) adds a positional-word explode anti-joined against the
+  span table — a hash join on doc_id with a residual range predicate
+  (spans-per-doc bounded) — plus one reassembly groupBy; still linear.
 - **c4_clean / pii_scrub**: pure narrow Catalyst (array lambdas /
   regexps) — the only exchange is the output orderBy.
   **domain_sample**: one sources-bounded groupBy + a broadcast join

@@ -1255,3 +1255,32 @@ def test_quality_lr_separates_planted(spark):
         "doc_id", (SF.col("doc_id") < 100).cast("double").alias("y")
     )
     assert selection.quality_lr_scores(with_empty, labels2).count() == 17
+
+
+def test_remove_duplicated_spans_planted(spark):
+    from knowledgeextraction_spark.operators import dedup
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"p q {shared} r s"),  # span covers words 2..8
+            (2, shared),               # fully duplicated -> empty
+            (3, f"{shared} x1 x2 x3"),
+            (4, "tiny text"),          # sub-k: untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicated_spans(docs).collect()
+    }
+    assert len(got) == 4
+    # doc 1: 11 words, the 7 shared ones cut, survivors keep order
+    assert (got[1]["total_words"], got[1]["removed_words"]) == (11, 7)
+    assert got[1]["cleaned"] == "p q r s"
+    # doc 2: everything duplicated -> empty cleaned
+    assert (got[2]["total_words"], got[2]["removed_words"]) == (7, 7)
+    assert got[2]["cleaned"] == ""
+    assert got[3]["cleaned"] == "x1 x2 x3"
+    # doc 4: below gram size, no spans, intact
+    assert (got[4]["removed_words"], got[4]["cleaned"]) == (0, "tiny text")
