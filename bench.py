@@ -61,6 +61,7 @@ HEADLINE = [
     "lm_perplexity",
     "quality_classifier",
     "dedup_span_clean",
+    "url_canonicalize",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

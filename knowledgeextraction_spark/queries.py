@@ -2143,6 +2143,98 @@ FROM sc CROSS JOIN bounds ORDER BY doc_id
 """
 
 
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic URLs exercising every
+    canonicalization rule (mirrored in the oracle): mixed-case scheme
+    and host, default ports on both schemes, tracking params leading /
+    trailing / alone in the query, and fragments."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/P/"),
+        did.cast("string"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), did.cast("string")),
+        )
+        .when(
+            did % 7 == 0,
+            F.concat(F.lit("?id="), did.cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .when(did % 13 == 0, F.lit("?utm_only=1"))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", "source", url.alias("url"))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host blocklist (operators/urls.py — the
+    crawl-hygiene stage in front of every CC pipeline): strip
+    fragments, lowercase scheme://host, drop default ports, strip
+    utm_*/fbclid tracking params; flag hosts on a broadcast blocklist
+    (here: every source ending in '0').  Pure narrow regexp chain —
+    zero shuffle beyond the output orderBy."""
+    from .operators import urls
+
+    pages = _url_docs(spark, sf_dir)
+    blocklist = pages.filter(F.col("source").endswith("0")).select(
+        F.lower(
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+        ).alias("host")
+    )
+    return urls.canonicalize_urls(pages, blocklist).orderBy("doc_id")
+
+
+_URL_PAGES_SQL = """(
+SELECT doc_id, source,
+       (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+       || '://WWW.' || source || '.Example.com'
+       || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+       || '/P/' || doc_id
+       || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || doc_id
+                WHEN doc_id % 7 = 0 THEN '?id=' || doc_id || '&utm_campaign=x'
+                WHEN doc_id % 13 = 0 THEN '?utm_only=1' ELSE '' END)
+       || (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+FROM documents d)"""
+
+
+def sql_url_canonicalize() -> str:
+    return f"""
+WITH pages AS {_URL_PAGES_SQL},
+c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM pages),
+c2 AS (SELECT doc_id,
+              lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1))
+              || regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS u
+       FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+         '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
+         '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2') AS u
+       FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+         '&(utm_[a-z_]*|fbclid)=[^&#]*', '', 'g'),
+         '\\?(utm_[a-z_]*|fbclid)=[^&#]*&', '?', 'g'),
+         '\\?(utm_[a-z_]*|fbclid)=[^&#]*$', '', 'g') AS u
+       FROM c3),
+canon AS (SELECT doc_id, u AS canon_url,
+                 regexp_extract(u, '^[a-z]+://([^/?#:]+)', 1) AS host
+          FROM c4),
+bl AS (SELECT DISTINCT lower('www.' || source || '.example.com') AS host
+       FROM documents WHERE source LIKE '%0')
+SELECT c.doc_id, c.canon_url, c.host, (bl.host IS NOT NULL) AS blocked
+FROM canon c LEFT JOIN bl ON c.host = bl.host
+ORDER BY c.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3522,6 +3614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "quality_classifier": q_quality_classifier,
     "dedup_span_clean": q_dedup_span_clean,
+    "url_canonicalize": q_url_canonicalize,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3616,6 +3709,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": sql_lm_perplexity(),
     "quality_classifier": sql_quality_classifier(),
     "dedup_span_clean": sql_dedup_span_clean(),
+    "url_canonicalize": sql_url_canonicalize(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -39,6 +39,7 @@ AUDIT = [
     "dedup_spans",
     "c4_clean",
     "pii_scrub",
+    "url_canonicalize",
     "domain_sample",
     "pack_chunks",
     "host_boilerplate",
@@ -152,8 +153,9 @@ Commentary (what the counts mean for the 100 TB plan):
   REMOVE half) adds a positional-word explode anti-joined against the
   span table — a hash join on doc_id with a residual range predicate
   (spans-per-doc bounded) — plus one reassembly groupBy; still linear.
-- **c4_clean / pii_scrub**: pure narrow Catalyst (array lambdas /
-  regexps) — the only exchange is the output orderBy.
+- **c4_clean / pii_scrub / url_canonicalize**: pure narrow Catalyst
+  (array lambdas / regexps) — the only exchange is the output orderBy
+  (plus, for url_canonicalize, the bounded blocklist broadcast).
   **domain_sample**: one sources-bounded groupBy + a broadcast join
   back; the md5 keep draw is a narrow expression (no window, no
   per-source sort — skew-immune).  **pack_chunks**: one shuffle on

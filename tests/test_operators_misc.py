@@ -1284,3 +1284,43 @@ def test_remove_duplicated_spans_planted(spark):
     assert got[3]["cleaned"] == "x1 x2 x3"
     # doc 4: below gram size, no spans, intact
     assert (got[4]["removed_words"], got[4]["cleaned"]) == (0, "tiny text")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (explicit per-rule expectations)
+# --------------------------------------------------------------------------
+
+
+def test_url_canonicalize_rules(spark):
+    from knowledgeextraction_spark.operators import urls
+
+    cases = [
+        # fragment + default port + tracking-only query all stripped
+        (1, "http://WWW.A.Example.com:80/P/x?utm_source=a#f",
+         "http://www.a.example.com/P/x", "www.a.example.com"),
+        # https default port; trailing tracking param dropped, real kept
+        (2, "HTTPS://Host.com:443/Q?id=1&utm_campaign=c",
+         "https://host.com/Q?id=1", "host.com"),
+        # leading tracking param: next param promoted to '?'
+        (3, "http://h.com/p?utm_a=1&utm_b=2&id=3",
+         "http://h.com/p?id=3", "h.com"),
+        # NON-default port survives; path case preserved
+        (4, "http://H.com:8080/CaseKept", "http://h.com:8080/CaseKept",
+         "h.com"),
+        # fbclid is tracking too; no query left -> no '?'
+        (5, "https://x.org/a?fbclid=zz", "https://x.org/a", "x.org"),
+    ]
+    pages = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in cases], "doc_id long, url string"
+    )
+    blocklist = spark.createDataFrame([("h.com",)], "host string")
+    got = {
+        r["doc_id"]: r
+        for r in urls.canonicalize_urls(pages, blocklist).collect()
+    }
+    for i, _, canon, host in cases:
+        assert got[i]["canon_url"] == canon, (i, got[i]["canon_url"])
+        assert got[i]["host"] == host
+    assert {i: got[i]["blocked"] for i in got} == {
+        1: False, 2: False, 3: True, 4: True, 5: False,
+    }
