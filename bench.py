@@ -62,6 +62,8 @@ HEADLINE = [
     "quality_classifier",
     "dedup_span_clean",
     "url_canonicalize",
+    "crawl_diff",
+    "corpus_report",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -70,3 +70,28 @@ def canonicalize_urls(pages: DataFrame, blocklist: DataFrame) -> DataFrame:
         "host",
         F.coalesce("blocked", F.lit(False)).alias("blocked"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
+    """→ (key, status, old_hash, new_hash): crawl-epoch diff — the
+    incremental-recrawl primitive (which pages appeared, vanished, or
+    changed content between two snapshots of the same crawl).  Content
+    identity is md5 of the whitespace-normalized text (the ONE dedup
+    content-hash convention); ``status`` ∈ added / removed / changed /
+    unchanged.
+
+    Scale shape: two narrow hash projections + one full-outer join on
+    the unique page key — both sides pre-hashed on it, linear, no
+    skew (keys are unique per side).  Inputs need (key, text)."""
+    from .dedup import normalized_text
+
+    oh = old.select(F.col(key), F.md5(normalized_text()).alias("old_hash"))
+    nh = new.select(F.col(key), F.md5(normalized_text()).alias("new_hash"))
+    j = oh.join(nh, key, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(key), status.alias("status"), "old_hash", "new_hash")

@@ -2235,6 +2235,103 @@ ORDER BY c.doc_id
 """
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-epoch snapshot diff (urls.snapshot_diff): epoch B drops
+    every 7th doc, appends ' updated' to every remaining 5th, and adds
+    replicas of every 9th under offset ids — per page the
+    added/removed/changed/unchanged verdict from one full-outer join
+    of content hashes.  The incremental-recrawl primitive."""
+    from .operators import urls
+
+    a = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    b = (
+        a.filter(did % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                did % 5 == 0, F.concat(F.col("text"), F.lit(" updated"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            a.filter(did % 9 == 0).select(
+                (did + F.lit(REPLICA_ID_OFFSET)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return urls.snapshot_diff(a, b).orderBy("doc_id")
+
+
+def sql_crawl_diff() -> str:
+    return f"""
+WITH a AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS old_hash FROM documents d),
+b_src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {REPLICA_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 9 = 0
+),
+b AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS new_hash FROM b_src d)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard — the rollup a pipeline operator
+    reads before launching a run: doc count, word volume, mean doc
+    length, within-source exact-duplicate members beyond the first
+    (count − distinct content hashes), and the English share.  Two
+    map-side-combinable aggs on the bounded source key; the content
+    hash and word count are the shared conventions."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "source",
+            dedup.word_count().alias("n_words"),
+            F.md5(dedup.normalized_text()).alias("h"),
+            (F.col("lang") == "en").cast("long").alias("is_en"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+            (F.count("*") - F.countDistinct("h"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("is_en").cast("long").alias("n_en"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_corpus_report() -> str:
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(avg(n_words), 6) AS avg_words,
+       CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs,
+       CAST(sum(is_en) AS BIGINT) AS n_en
+FROM (SELECT source, {_WORD_COUNT_SQL} AS n_words,
+             md5({_NORM_TEXT_SQL}) AS h,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents d) t
+GROUP BY source ORDER BY source
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3615,6 +3712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "dedup_span_clean": q_dedup_span_clean,
     "url_canonicalize": q_url_canonicalize,
+    "crawl_diff": q_crawl_diff,
+    "corpus_report": q_corpus_report,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3710,6 +3809,8 @@ ORACLES: dict[str, str] = {
     "quality_classifier": sql_quality_classifier(),
     "dedup_span_clean": sql_dedup_span_clean(),
     "url_canonicalize": sql_url_canonicalize(),
+    "crawl_diff": sql_crawl_diff(),
+    "corpus_report": sql_corpus_report(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -40,6 +40,7 @@ AUDIT = [
     "c4_clean",
     "pii_scrub",
     "url_canonicalize",
+    "crawl_diff",
     "domain_sample",
     "pack_chunks",
     "host_boilerplate",
@@ -156,6 +157,9 @@ Commentary (what the counts mean for the 100 TB plan):
 - **c4_clean / pii_scrub / url_canonicalize**: pure narrow Catalyst
   (array lambdas / regexps) — the only exchange is the output orderBy
   (plus, for url_canonicalize, the bounded blocklist broadcast).
+  **crawl_diff** is two narrow hash projections + ONE full-outer
+  sort-merge join on the unique page key — linear, skewless, the
+  incremental-recrawl primitive.
   **domain_sample**: one sources-bounded groupBy + a broadcast join
   back; the md5 keep draw is a narrow expression (no window, no
   per-source sort — skew-immune).  **pack_chunks**: one shuffle on

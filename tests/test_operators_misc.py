@@ -1324,3 +1324,22 @@ def test_url_canonicalize_rules(spark):
     assert {i: got[i]["blocked"] for i in got} == {
         1: False, 2: False, 3: True, 4: True, 5: False,
     }
+
+
+def test_snapshot_diff_planted(spark):
+    from knowledgeextraction_spark.operators import urls
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"),  # normalizes equal -> unchanged
+         (2, "has changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in urls.snapshot_diff(old, new).collect()}
+    assert {i: got[i]["status"] for i in sorted(got)} == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+    }
+    assert got[3]["new_hash"] is None and got[4]["old_hash"] is None
