@@ -64,6 +64,7 @@ HEADLINE = [
     "url_canonicalize",
     "crawl_diff",
     "corpus_report",
+    "bpe_merges",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -2332,6 +2332,21 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py, Sennrich
+    et al. 2016): the corpus collapses once into a word-frequency
+    table, then 20 merge rounds run over that vocabulary table only —
+    per round one bounded pair-count groupBy, a one-row TakeOrdered
+    argmax, and a narrow fold applying the merge.  Integer counts +
+    lexicographic tie-break make the merge sequence EXACT (no
+    quantization); the oracle is the committed golden parquet from the
+    independent single-node python trainer (oracle/bpe.py — merge
+    application is not SQL-expressible)."""
+    from .operators import bpe
+
+    return bpe.merge_table(_docs(spark, sf_dir)).orderBy("rank")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3714,6 +3729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "crawl_diff": q_crawl_diff,
     "corpus_report": q_corpus_report,
+    "bpe_merges": q_bpe_merges,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3811,6 +3827,7 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": sql_url_canonicalize(),
     "crawl_diff": sql_crawl_diff(),
     "corpus_report": sql_corpus_report(),
+    "bpe_merges": sql_golden("bpe_merges"),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

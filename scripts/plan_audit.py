@@ -41,6 +41,7 @@ AUDIT = [
     "pii_scrub",
     "url_canonicalize",
     "crawl_diff",
+    "bpe_merges",
     "domain_sample",
     "pack_chunks",
     "host_boilerplate",
@@ -180,6 +181,14 @@ Commentary (what the counts mean for the 100 TB plan):
   (~10⁵ rows max at any corpus size), not the corpus — the
   single-partition exchanges in the count are that bounded table and
   the scalar total/boundary broadcasts.
+- **bpe_merges**: the audited plan is the final createDataFrame of the
+  learned merge rows (the training ran in the driver loop) — what
+  matters is the per-round shape: pair counting is a narrow array
+  transform + explode + ONE map-side-combinable groupBy over the
+  VOCABULARY table (corpus-size-independent after the one word-count
+  pass), the argmax is a one-row TakeOrdered, merge application is a
+  narrow fold, and vocabulary lineage is cut every round.  The corpus
+  is touched exactly once, at word_freq_table.
 - **quality_classifier**: per training round, the feature table (one
   row per doc×bucket, materialized once) joins the B-bounded
   broadcast weight table and folds to per-doc margins (uniform

@@ -1,0 +1,60 @@
+"""Distributed BPE training vs the independent python oracle."""
+
+import pandas as pd
+import pytest
+
+
+def test_bpe_planted_classic(spark):
+    """The Sennrich toy corpus: first merges are hand-derivable."""
+    from knowledgeextraction_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest"),
+         (2, "newest newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    got = bpe.train_bpe(docs, n_merges=4)
+    # pair freqs round 0: (e,s) and (s,t) and (t,</w>) each 9 (newest
+    # x6 + widest x3); tie-break lexicographic -> (e,s) first, then
+    # 'es' makes (es,t) freq 9, then (est,</w>) 9
+    assert got[0] == (0, "e", "s", 9)
+    assert got[1] == (1, "es", "t", 9)
+    assert got[2] == (2, "est", "</w>", 9)
+    # next: l,o appears in low x5 + lower x2 = 7
+    assert got[3] == (3, "l", "o", 7)
+
+
+def test_bpe_spark_matches_python_oracle(spark):
+    """Exact merge-sequence equality on a mixed random fixture —
+    including the greedy fold vs index-scan equivalence on repeated
+    symbols ('aaaa' words)."""
+    from knowledgeextraction_spark.operators import bpe
+    from knowledgeextraction_spark.oracle import bpe as pybpe
+
+    texts = [
+        "aaaa aa aaaa banana bandana ananas",
+        "the cat sat on the mat the cat",
+        "aaaa banana the the the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in t.split():
+            freqs[w] += 1
+    want = pybpe.train_bpe(freqs, n_merges=10)
+    got = bpe.train_bpe(docs, n_merges=10)
+    assert got == want
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_bpe_golden_fresh(sf):
+    """Committed golden parquet == a live python-oracle recompute."""
+    from knowledgeextraction_spark.oracle import bpe as pybpe
+
+    fresh = pybpe.merges_frame(f"/root/testdata/{sf}")
+    committed = pd.read_parquet(f"golden/{sf}/bpe_merges.parquet")
+    pd.testing.assert_frame_equal(fresh, committed)
