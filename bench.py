@@ -65,6 +65,7 @@ HEADLINE = [
     "crawl_diff",
     "corpus_report",
     "bpe_merges",
+    "bpe_token_counts",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

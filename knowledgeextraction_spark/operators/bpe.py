@@ -69,11 +69,12 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
-    """replace every adjacent (a, b) in every symbol array with a+b,
-    greedily left-to-right (left fold; see module docstring)."""
-    merged = F.aggregate(
-        F.col("syms"),
+def _merge_expr(syms, a: str, b: str):
+    """expression replacing every adjacent (a, b) in the symbol array
+    with a+b, greedily left-to-right (left fold; see module
+    docstring)."""
+    return F.aggregate(
+        syms,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
             (F.size(acc) > 0)
@@ -84,7 +85,12 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(s))),
     )
-    return vocab.select(merged.alias("syms"), "freq")
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    return vocab.select(
+        _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
+    )
 
 
 def train_bpe(
@@ -130,4 +136,45 @@ def merge_table(
     return spark.createDataFrame(
         train_bpe(docs, n_merges),
         "rank long, left string, right string, freq long",
+    )
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]] | None = None,
+    n_merges: int = N_MERGES,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_id, n_words, n_bpe_tokens): the ENCODE step — apply the
+    learned merge sequence (rank order) and count the resulting BPE
+    tokens per document (the number every packing/budgeting stage
+    actually consumes).  ``merges`` defaults to training on ``docs``
+    itself.
+
+    Scale shape: each DISTINCT word is encoded once — the merge folds
+    chain over the distinct-word table (vocabulary-bounded), which
+    then joins back onto the doc→word stream on the uniform word key
+    (shuffle join: at web scale the vocabulary outgrows a broadcast)
+    and folds into one groupBy(doc_id).  The corpus stream is never
+    folded through the 20-deep merge expression."""
+    if merges is None:
+        merges = train_bpe(docs, n_merges, use_local_checkpoint)
+    stream = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
+    for _rank, a, b, _f in merges:
+        syms = _merge_expr(syms, a, b)
+    vocab_tok = (
+        stream.select("word")
+        .distinct()
+        .select("word", F.size(syms).cast("long").alias("w_tokens"))
+    )
+    return (
+        stream.join(vocab_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
+        )
     )

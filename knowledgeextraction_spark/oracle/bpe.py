@@ -74,9 +74,55 @@ def merges_frame(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
     )
 
 
+def encode_word(word: str, merges) -> int:
+    """apply the merge sequence (rank order) to one word; → #tokens."""
+    syms = list(word) + [END_MARK]
+    for _rank, a, b, _f in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def token_counts_frame(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
+    """per-doc (doc_id, n_words, n_bpe_tokens) under the corpus-trained
+    merges — each distinct word encoded once (the Spark shape)."""
+    merges = train_bpe(word_freqs(sf_dir), n_merges)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cache: dict[str, int] = {}
+    rows = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        norm = re.sub(r"\s+", " ", (text or "").strip().lower())
+        words = [w for w in norm.split(" ") if w]
+        if not words:
+            continue
+        n_tok = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = encode_word(w, merges)
+            n_tok += cache[w]
+        rows.append((doc_id, len(words), n_tok))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_words", "n_bpe_tokens"]
+    ).astype({"doc_id": "int64", "n_words": "int64", "n_bpe_tokens": "int64"})
+
+
 def write_golden(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     merges_frame(sf_dir).to_parquet(f"{out_dir}/bpe_merges.parquet", index=False)
+    token_counts_frame(sf_dir).to_parquet(
+        f"{out_dir}/bpe_token_counts.parquet", index=False
+    )
 
 
 if __name__ == "__main__":

@@ -2347,6 +2347,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merge_table(_docs(spark, sf_dir)).orderBy("rank")
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (operators/bpe.py:encode_token_counts): per-doc word
+    and BPE-token counts under the corpus-trained merge sequence —
+    each DISTINCT word runs the 20-deep merge fold once
+    (vocabulary-bounded), then joins back onto the doc→word stream on
+    the uniform word key and folds per doc.  Oracle: committed golden
+    parquet from the independent python encoder."""
+    from .operators import bpe
+
+    return bpe.encode_token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3730,6 +3742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_diff": q_crawl_diff,
     "corpus_report": q_corpus_report,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3828,6 +3841,7 @@ ORACLES: dict[str, str] = {
     "crawl_diff": sql_crawl_diff(),
     "corpus_report": sql_corpus_report(),
     "bpe_merges": sql_golden("bpe_merges"),
+    "bpe_token_counts": sql_golden("bpe_token_counts"),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

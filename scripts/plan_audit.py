@@ -42,6 +42,7 @@ AUDIT = [
     "url_canonicalize",
     "crawl_diff",
     "bpe_merges",
+    "bpe_token_counts",
     "domain_sample",
     "pack_chunks",
     "host_boilerplate",
@@ -188,7 +189,12 @@ Commentary (what the counts mean for the 100 TB plan):
   VOCABULARY table (corpus-size-independent after the one word-count
   pass), the argmax is a one-row TakeOrdered, merge application is a
   narrow fold, and vocabulary lineage is cut every round.  The corpus
-  is touched exactly once, at word_freq_table.
+  is touched exactly once, at word_freq_table.  **bpe_token_counts**
+  (the encode step) runs the 20-deep merge fold over the
+  DISTINCT-word table only, joins it back onto the doc→word stream on
+  the uniform word key (shuffle join — at web scale the vocabulary
+  outgrows a broadcast) and folds per doc; the corpus stream never
+  enters the fold expression.
 - **quality_classifier**: per training round, the feature table (one
   row per doc×bucket, materialized once) joins the B-bounded
   broadcast weight table and folds to per-doc margins (uniform

@@ -50,6 +50,23 @@ def test_bpe_spark_matches_python_oracle(spark):
     assert got == want
 
 
+def test_bpe_encode_planted(spark):
+    """Encode counts under a known merge list, no training involved."""
+    from knowledgeextraction_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "lot")], "doc_id long, text string"
+    )
+    # merges: l+o -> lo, lo+w -> low, low+</w> -> low</w>
+    merges = [(0, "l", "o", 0), (1, "lo", "w", 0), (2, "low", "</w>", 0)]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.encode_token_counts(docs, merges=merges).collect()
+    }
+    # 'low' -> ['low</w>'] = 1 token; 'lot' -> ['lo','t','</w>'] = 3
+    assert got == {1: (2, 2), 2: (1, 3)}
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 def test_bpe_golden_fresh(sf):
     """Committed golden parquet == a live python-oracle recompute."""
@@ -58,3 +75,7 @@ def test_bpe_golden_fresh(sf):
     fresh = pybpe.merges_frame(f"/root/testdata/{sf}")
     committed = pd.read_parquet(f"golden/{sf}/bpe_merges.parquet")
     pd.testing.assert_frame_equal(fresh, committed)
+
+    fresh_tc = pybpe.token_counts_frame(f"/root/testdata/{sf}")
+    committed_tc = pd.read_parquet(f"golden/{sf}/bpe_token_counts.parquet")
+    pd.testing.assert_frame_equal(fresh_tc, committed_tc)
