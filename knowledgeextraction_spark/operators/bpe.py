@@ -159,9 +159,15 @@ def encode_token_counts(
     folded through the 20-deep merge expression."""
     if merges is None:
         merges = train_bpe(docs, n_merges, use_local_checkpoint)
-    stream = docs.select(
-        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
-    ).filter(F.length("word") > 0)
+    # the corpus-sized word stream feeds both the distinct-vocab branch
+    # and the final join — cut the lineage so the scan+explode runs once
+    stream = _materialize(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(), " ")).alias("word"),
+        ).filter(F.length("word") > 0),
+        use_local_checkpoint,
+    )
     syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK)))
     for _rank, a, b, _f in merges:
         syms = _merge_expr(syms, a, b)

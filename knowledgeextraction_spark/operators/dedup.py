@@ -746,11 +746,16 @@ def host_boilerplate_stats(
     The exploded line stream feeds both the count and the reassembly —
     materialized once (``use_local_checkpoint`` — the dedup escape
     hatch convention)."""
+    # coalesce: a null-text doc must still emit its (empty-line) row —
+    # split(NULL) explodes to nothing, which would both drop the doc
+    # from the output AND leave it inflating the src_docs denominator
     lines = _materialize(
         docs.select(
             "doc_id",
             "source",
-            F.posexplode(F.split("text", "\n")).alias("pos", "raw"),
+            F.posexplode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+            ).alias("pos", "raw"),
         ).select(
             "doc_id", "source", "pos", normalized_line(F.col("raw")).alias("line")
         ),

@@ -28,31 +28,51 @@ _TRACK = r"(utm_[a-z_]*|fbclid)"
 
 def canonical_url(col="url"):
     """the canonicalization expression chain (each step mirrored
-    one-for-one in queries._CANON_SQL):
+    one-for-one in queries.sql_url_canonicalize):
 
     1. strip ``#fragment``
-    2. lowercase the ``scheme://host[:port]`` prefix
-    3. drop default ports (http :80, https :443)
-    4. strip tracking params: mid-query ``&utm_x=v``, then a leading
+    2. lowercase the scheme and the host[:port] — but NOT any
+       userinfo, whose case is significant (credentials)
+    3. drop default ports (http :80, https :443), userinfo-tolerant
+    4. strip tracking params INSIDE the query string only — the url is
+       split at the first ``?`` so a literal ``&utm_x=v`` in a path
+       is never rewritten: mid-query ``&utm_x=v``, then a leading
        ``?utm_x=v&`` (promoting the next param), then a lone
        ``?utm_x=v`` tail
+
+    (IPv6 bracket authorities are out of scope — the pipeline's page
+    keys are hostnames.)
     """
     u = F.regexp_replace(F.col(col), r"#.*$", "")
-    prefix = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)
+    scheme = F.regexp_extract(u, r"^([^:/?#]+)://", 1)
+    userinfo = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*@)", 1)
+    hostport = F.regexp_extract(
+        u, r"^[^:/?#]+://(?:[^/?#]*@)?([^/?#]*)", 1
+    )
     rest = F.regexp_replace(u, r"^[^:/?#]+://[^/?#]*", "")
-    u = F.concat(F.lower(prefix), rest)
-    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
-    u = F.regexp_replace(u, rf"&{_TRACK}=[^&#]*", "")
-    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*&", "?")
-    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*$", "")
-    return u
+    u = F.concat(
+        F.lower(scheme), F.lit("://"), userinfo, F.lower(hostport), rest
+    )
+    u = F.regexp_replace(
+        u, r"^(http://(?:[^/?#]*@)?[^/?#:]*):80([/?#].*)?$", "$1$2"
+    )
+    u = F.regexp_replace(
+        u, r"^(https://(?:[^/?#]*@)?[^/?#:]*):443([/?#].*)?$", "$1$2"
+    )
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    q = F.regexp_extract(u, r"^[^?]*(\?.*)$", 1)
+    q = F.regexp_replace(q, rf"&{_TRACK}=[^&#]*", "")
+    q = F.regexp_replace(q, rf"^\?{_TRACK}=[^&#]*&", "?")
+    q = F.regexp_replace(q, rf"^\?{_TRACK}=[^&#]*$", "")
+    return F.concat(base, q)
 
 
 def url_host(col):
     """registrable host of an ALREADY-canonicalized url (scheme and
-    host are lowercase by then): the authority minus any port."""
-    return F.regexp_extract(col, r"^[a-z]+://([^/?#:]+)", 1)
+    host are lowercase by then): the authority minus any userinfo
+    (greedy up to the last ``@`` — anything before the path with an
+    ``@`` is userinfo per RFC 3986) and minus any port."""
+    return F.regexp_extract(col, r"^[a-z]+://(?:[^/?#]*@)?([^/?#:]+)", 1)
 
 
 def canonicalize_urls(pages: DataFrame, blocklist: DataFrame) -> DataFrame:

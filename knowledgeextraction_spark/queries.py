@@ -2053,7 +2053,8 @@ lines AS (
            unnest([{{'pos': i - 1,
                     'line': regexp_replace(trim(ls[i]), '\\s+', ' ', 'g')}}
                    for i in range(1, len(ls) + 1)]) AS u
-    FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+    FROM (SELECT doc_id, source,
+                 string_split(coalesce(text, ''), chr(10)) AS ls
           FROM pages) t
   ) x
 ),
@@ -2146,13 +2147,16 @@ FROM sc CROSS JOIN bounds ORDER BY doc_id
 def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministic synthetic URLs exercising every
     canonicalization rule (mirrored in the oracle): mixed-case scheme
-    and host, default ports on both schemes, tracking params leading /
-    trailing / alone in the query, and fragments."""
+    and host, case-significant userinfo, default ports on both
+    schemes, a literal '&utm_x=1' in the PATH (must survive), tracking
+    params leading / trailing / alone in the query, and fragments."""
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
     url = F.concat(
         F.when(did % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
-        F.lit("://WWW."),
+        F.lit("://"),
+        F.when(did % 17 == 0, F.lit("User:PwD@")).otherwise(F.lit("")),
+        F.lit("WWW."),
         F.col("source"),
         F.lit(".Example.com"),
         F.when(did % 4 == 0, F.lit(":80"))
@@ -2160,6 +2164,7 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.lit("/P/"),
         did.cast("string"),
+        F.when(did % 19 == 0, F.lit("/a&utm_x=1")).otherwise(F.lit("")),
         F.when(
             did % 5 == 0,
             F.concat(F.lit("?utm_source=feed&id="), did.cast("string")),
@@ -2196,10 +2201,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URL_PAGES_SQL = """(
 SELECT doc_id, source,
        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
-       || '://WWW.' || source || '.Example.com'
+       || '://' || (CASE WHEN doc_id % 17 = 0 THEN 'User:PwD@' ELSE '' END)
+       || 'WWW.' || source || '.Example.com'
        || (CASE WHEN doc_id % 4 = 0 THEN ':80'
                 WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
        || '/P/' || doc_id
+       || (CASE WHEN doc_id % 19 = 0 THEN '/a&utm_x=1' ELSE '' END)
        || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || doc_id
                 WHEN doc_id % 7 = 0 THEN '?id=' || doc_id || '&utm_campaign=x'
                 WHEN doc_id % 13 = 0 THEN '?utm_only=1' ELSE '' END)
@@ -2212,20 +2219,27 @@ def sql_url_canonicalize() -> str:
 WITH pages AS {_URL_PAGES_SQL},
 c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM pages),
 c2 AS (SELECT doc_id,
-              lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1))
+              lower(regexp_extract(u, '^([^:/?#]+)://', 1)) || '://'
+              || regexp_extract(u, '^[^:/?#]+://([^/?#]*@)', 1)
+              || lower(regexp_extract(u,
+                   '^[^:/?#]+://(?:[^/?#]*@)?([^/?#]*)', 1))
               || regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS u
        FROM c1),
 c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-         '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
-         '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2') AS u
+         '^(http://(?:[^/?#]*@)?[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
+         '^(https://(?:[^/?#]*@)?[^/?#:]*):443([/?#].*)?$', '\\1\\2') AS u
        FROM c2),
-c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
-         '&(utm_[a-z_]*|fbclid)=[^&#]*', '', 'g'),
-         '\\?(utm_[a-z_]*|fbclid)=[^&#]*&', '?', 'g'),
-         '\\?(utm_[a-z_]*|fbclid)=[^&#]*$', '', 'g') AS u
+c4 AS (SELECT doc_id,
+              regexp_extract(u, '^([^?]*)', 1) ||
+              regexp_replace(regexp_replace(regexp_replace(
+                  regexp_extract(u, '^[^?]*(\\?.*)$', 1),
+                '&(utm_[a-z_]*|fbclid)=[^&#]*', '', 'g'),
+                '^\\?(utm_[a-z_]*|fbclid)=[^&#]*&', '?'),
+                '^\\?(utm_[a-z_]*|fbclid)=[^&#]*$', '') AS u
        FROM c3),
 canon AS (SELECT doc_id, u AS canon_url,
-                 regexp_extract(u, '^[a-z]+://([^/?#:]+)', 1) AS host
+                 regexp_extract(u,
+                   '^[a-z]+://(?:[^/?#]*@)?([^/?#:]+)', 1) AS host
           FROM c4),
 bl AS (SELECT DISTINCT lower('www.' || source || '.example.com') AS host
        FROM documents WHERE source LIKE '%0')
