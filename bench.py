@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_report",
     "bpe_merges",
     "bpe_token_counts",
+    "winnow_pairs",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

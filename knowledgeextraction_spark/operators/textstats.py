@@ -338,3 +338,52 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(raw, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         red.alias("redacted"),
     )
+
+
+WINNOW_MIN_SHARED = 5  # pair report threshold: shared fingerprints
+# a fingerprint present in more docs than this is common-vocabulary /
+# template noise, not evidence of copying — MOSS's frequent-substring
+# drop.  Far stricter than the LSH MAX_BUCKET pair-explosion guard: at
+# the default 1000 the dense shared-vocabulary fingerprints of any
+# same-domain corpus connect nearly ALL pairs (measured: 150k of 151k
+# possible pairs at sf0.001) and the report is meaningless.
+WINNOW_PAIR_CAP = 25
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_bucket: int = WINNOW_PAIR_CAP,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ (doc_a, doc_b, shared_fps): document pairs sharing at least
+    ``min_shared`` winnowed fingerprints — the MOSS report step
+    (Schleimer et al. 2003 §4): any pair with a common substring of
+    length ≥ k+w−1 shares a fingerprint, so heavy-overlap pairs
+    surface with counts, ordered (doc_a < doc_b).
+
+    Scale shape: the fingerprint table self-joins on the uniform
+    fingerprint key — the LSH-candidate shape, with the same two
+    guards: the table is materialized once (both join sides read it),
+    and buckets over ``max_bucket`` members are dropped first
+    (dedup._cap_buckets — a fingerprint shared by many docs is
+    common vocabulary, not plagiarism, and would otherwise cost a
+    quadratic pair set).  One groupBy(doc_a, doc_b) folds the shared
+    count."""
+    from .dedup import _cap_buckets, _materialize
+
+    fp = _materialize(
+        _cap_buckets(winnow_fingerprints(docs), ["fingerprint"], max_bucket),
+        use_local_checkpoint,
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -3217,15 +3217,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_winnow_fingerprints() -> str:
+def _winnow_ctes(src: str) -> str:
+    """the base → hashed → winnowed CTE chain (SQL mirror of
+    textstats.winnow_fingerprints) over ``src`` — shared by
+    sql_winnow_fingerprints and sql_winnow_pairs."""
     k, w = textstats.WINNOW_K, textstats.WINNOW_W
     mod = 1_000_003
     powers = [(31 ** (k - 1 - j)) for j in range(k)]
     hash_terms = " + ".join(
         f"ascii(t[p + {j}]) * {powers[j]}" for j in range(k)
     )
-    return f"""
-WITH base AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    return f"""base AS (SELECT doc_id, lower(trim(text)) AS t FROM {src} d),
 hashed AS (
   SELECT doc_id,
          [({hash_terms}) % {mod}
@@ -3239,10 +3241,44 @@ winnowed AS (
             for i in range(1, greatest(len(hashes) - {w} + 1, 0) + 1)]
          )) AS fps
   FROM hashed WHERE len(hashes) >= {w}
-)
+)"""
+
+
+def sql_winnow_fingerprints() -> str:
+    return f"""
+WITH {_winnow_ctes("documents")}
 SELECT doc_id, unnest(fps)::INT AS fingerprint
 FROM winnowed WHERE len(fps) > 0
 ORDER BY doc_id, fingerprint
+"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS overlap-pair report (textstats.winnow_overlap_pairs) over
+    documents ∪ replicas: pairs sharing >= WINNOW_MIN_SHARED winnowed
+    fingerprints with the shared count — the fingerprint self-join in
+    the capped LSH-candidate shape (fingerprints above the strict
+    WINNOW_PAIR_CAP are common-vocabulary noise: dropped, never
+    pair-enumerated)."""
+    return textstats.winnow_overlap_pairs(
+        _docs_with_replicas(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
+
+
+def sql_winnow_pairs() -> str:
+    return f"""
+WITH {_winnow_ctes(_DOCS_REPL_SQL)},
+fp AS (SELECT doc_id, unnest(fps)::INT AS fingerprint
+       FROM winnowed WHERE len(fps) > 0),
+fsize AS (SELECT fingerprint, count(*) AS n FROM fp GROUP BY fingerprint),
+fpc AS (SELECT fp.* FROM fp JOIN fsize USING (fingerprint)
+        WHERE fsize.n <= {textstats.WINNOW_PAIR_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fpc a JOIN fpc b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {textstats.WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -3757,6 +3793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "winnow_pairs": q_winnow_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3856,6 +3893,7 @@ ORACLES: dict[str, str] = {
     "corpus_report": sql_corpus_report(),
     "bpe_merges": sql_golden("bpe_merges"),
     "bpe_token_counts": sql_golden("bpe_token_counts"),
+    "winnow_pairs": sql_winnow_pairs(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -66,6 +66,7 @@ AUDIT = [
     "text_stats",
     "repetition_stats",
     "winnow_fingerprints",
+    "winnow_pairs",
     "vocab_min_occur",
     "sessionize",
     "conlleval_metrics",

@@ -1357,3 +1357,37 @@ def test_snapshot_diff_planted(spark):
         1: "unchanged", 2: "changed", 3: "removed", 4: "added",
     }
     assert got[3]["new_hash"] is None and got[4]["old_hash"] is None
+
+
+def test_winnow_overlap_pairs_planted(spark):
+    from knowledgeextraction_spark.operators import textstats
+
+    shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} outro alpha"),
+            (2, f"different opening {shared} and a closing"),
+            (3, "completely unrelated words with zero overlap here xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in textstats.winnow_overlap_pairs(docs, min_shared=3).collect()
+    }
+    # the shared 62-char substring guarantees many common fingerprints
+    # (every k+w-1 = 8-char window inside it shares one)
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    # the unrelated doc pairs with no one
+    assert all(3 not in p for p in pairs)
+
+    # a fingerprint present in EVERY doc of a big same-text family is
+    # capped out: no quadratic pair burst from template text
+    many = spark.createDataFrame(
+        [(i, f"template header always the same {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    burst = textstats.winnow_overlap_pairs(
+        many, min_shared=1, max_bucket=25
+    ).count()
+    assert burst == 0  # the 60-doc shared fingerprints all exceed the cap
