@@ -67,6 +67,8 @@ HEADLINE = [
     "bpe_merges",
     "bpe_token_counts",
     "winnow_pairs",
+    "tfidf_keywords",
+    "pmi_bigrams",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -387,3 +387,102 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: tf-idf keywords and PMI collocations — the two
+# classic corpus-analysis reports (keyword extraction for doc
+# summaries/routing; collocation mining for phrase vocabularies).
+# Both are compositions of the word/bigram count tables the engine
+# already computes elsewhere: uniform-key groupBys, a broadcast of the
+# bounded doc-frequency/total scalars, and a per-doc (bounded) or
+# global top-k (TakeOrdered) — no corpus-wide sort anywhere.
+
+TFIDF_TOP_K = 3
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def tfidf_keywords(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """→ (doc_id, word, tf, score, rk): the ``top_k`` tf·idf keywords
+    per doc, idf = ln(N/df) over distinct-doc frequency.  idf is
+    quantized to 9 dp before the tf product (the dsir convention) and
+    the score to 6 dp; ties break (score desc, word asc).  The ranking
+    window partitions by doc — bounded by doc vocabulary, skewless."""
+    from pyspark.sql import Window
+
+    from .dedup import normalized_text
+
+    w = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.round(F.log(F.col("n") / F.col("df")), 9), 6
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= top_k)
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    top_k: int = PMI_TOP_K,
+) -> DataFrame:
+    """→ (w1, w2, c_pair, pmi): the ``top_k`` adjacent-word
+    collocations by pointwise mutual information
+    ln(c(w1,w2)·T / (c(w1)·c(w2))) with T the total bigram count,
+    among pairs seen >= ``min_count`` times.  Unigram counts are word
+    occurrences over the corpus; ties break (pmi desc, w1, w2) and
+    the global cut is a TakeOrdered — bounded, no full sort."""
+    from .dedup import normalized_text
+    from .selection import _bigram_occurrences
+
+    bg = _bigram_occurrences(docs.select("doc_id", "text"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_pair"))
+    uni = (
+        docs.select(
+            F.explode(F.split(normalized_text(), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t = bc.agg(F.sum("c_pair").cast("double").alias("t"))
+    return (
+        bc.filter(F.col("c_pair") >= min_count)
+        .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            F.round(
+                F.log(
+                    F.col("c_pair")
+                    * F.col("t")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )

@@ -3282,6 +3282,86 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tf·idf keyword extraction (textstats.tfidf_keywords):
+    top-3 words by tf·ln(N/df), idf 9-dp-quantized before the product
+    (the dsir convention), ties broken (score desc, word asc).  The
+    ranking window partitions by doc — bounded, skewless."""
+    return textstats.tfidf_keywords(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "rk"
+    )
+
+
+def sql_tfidf_keywords() -> str:
+    k = textstats.TFIDF_TOP_K
+    return f"""
+WITH wf AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS word
+    FROM documents d
+  ) t WHERE length(word) > 0
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM wf GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, word, tf,
+         round(tf * round(ln(n.n / df), 9), 6) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, word, tf, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {k} ORDER BY doc_id, rk
+"""
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (textstats.pmi_bigrams): top-50 adjacent
+    word pairs by ln(c_pair·T/(c1·c2)) among pairs seen >= 5 times —
+    two uniform-key count groupBys, a scalar-total broadcast, and a
+    bounded TakeOrdered cut (no full sort)."""
+    return textstats.pmi_bigrams(_docs(spark, sf_dir)).orderBy(
+        F.desc("pmi"), "w1", "w2"
+    )
+
+
+def sql_pmi_bigrams() -> str:
+    m = textstats.PMI_MIN_COUNT
+    k = textstats.PMI_TOP_K
+    return f"""
+WITH bg AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest([{{'w1': words[i], 'w2': words[i + 1]}}
+                   for i in range(1, len(words))]) AS u
+    FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS words
+          FROM documents d) t
+  ) x WHERE length(w1) > 0 AND length(w2) > 0
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+       FROM bg GROUP BY w1, w2),
+uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS word
+    FROM documents d
+  ) t WHERE length(word) > 0 GROUP BY word
+),
+tot AS (SELECT CAST(sum(c_pair) AS DOUBLE) AS t FROM bc)
+SELECT w1, w2, c_pair,
+       round(ln(c_pair * tot.t / (u1.c * u2.c)), 6) AS pmi
+FROM bc JOIN uni u1 ON bc.w1 = u1.word
+        JOIN uni u2 ON bc.w2 = u2.word
+        CROSS JOIN tot
+WHERE c_pair >= {m}
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3794,6 +3874,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "winnow_pairs": q_winnow_pairs,
+    "tfidf_keywords": q_tfidf_keywords,
+    "pmi_bigrams": q_pmi_bigrams,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3894,6 +3976,8 @@ ORACLES: dict[str, str] = {
     "bpe_merges": sql_golden("bpe_merges"),
     "bpe_token_counts": sql_golden("bpe_token_counts"),
     "winnow_pairs": sql_winnow_pairs(),
+    "tfidf_keywords": sql_tfidf_keywords(),
+    "pmi_bigrams": sql_pmi_bigrams(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

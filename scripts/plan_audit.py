@@ -67,6 +67,8 @@ AUDIT = [
     "repetition_stats",
     "winnow_fingerprints",
     "winnow_pairs",
+    "tfidf_keywords",
+    "pmi_bigrams",
     "vocab_min_occur",
     "sessionize",
     "conlleval_metrics",

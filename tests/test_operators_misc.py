@@ -1391,3 +1391,44 @@ def test_winnow_overlap_pairs_planted(spark):
         many, min_shared=1, max_bucket=25
     ).count()
     assert burst == 0  # the 60-doc shared fingerprints all exceed the cap
+
+
+def test_tfidf_keywords_planted(spark):
+    import math
+
+    from knowledgeextraction_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"),
+         (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rk"]): (r["word"], r["tf"], r["score"])
+        for r in textstats.tfidf_keywords(docs).collect()
+    }
+    # N=3; df: apple 1, banana 2, cherry 2
+    idf_apple = round(math.log(3 / 1), 9)
+    idf_half = round(math.log(3 / 2), 9)
+    assert got[(1, 1)] == ("apple", 2, round(2 * idf_apple, 6))
+    assert got[(1, 2)] == ("banana", 1, round(1 * idf_half, 6))
+    assert got[(3, 1)] == ("cherry", 3, round(3 * idf_half, 6))
+    assert (2, 3) not in got  # doc 2 has only two distinct words
+
+
+def test_pmi_bigrams_planted(spark):
+    import math
+
+    from knowledgeextraction_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    rows = textstats.pmi_bigrams(docs, min_count=1, top_k=10).collect()
+    got = [(r["w1"], r["w2"], r["c_pair"], r["pmi"]) for r in rows]
+    # T=3; pmi(p,q)=ln(1*3/(1*1))=ln 3 > pmi(x,y)=ln(2*3/(2*2))=ln 1.5
+    assert got == [
+        ("p", "q", 1, round(math.log(3.0), 6)),
+        ("x", "y", 2, round(math.log(1.5), 6)),
+    ]
