@@ -49,18 +49,9 @@ def word_freq_table(docs: DataFrame) -> DataFrame:
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """(syms, freq) → (left, right, freq): freq-weighted adjacent pair
     counts over the vocabulary's symbol arrays."""
-    syms = F.col("syms")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(syms) - 2, F.lit(0)))
-    pairs = F.transform(
-        idx,
-        lambda i: F.when(
-            i + 2 <= F.size(syms),
-            F.struct(
-                F.element_at(syms, i + 1).alias("left"),
-                F.element_at(syms, i + 2).alias("right"),
-            ),
-        ),
-    )
+    from .dedup import adjacent_structs
+
+    pairs = adjacent_structs(F.col("syms"), "left", "right")
     return (
         vocab.select("freq", F.explode(pairs).alias("p"))
         .filter(F.col("p").isNotNull())

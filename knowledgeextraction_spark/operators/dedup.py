@@ -83,6 +83,37 @@ def word_count(col="text"):
     )
 
 
+def adjacent_structs(arr, f1: str = "w1", f2: str = "w2"):
+    """array of struct(f1=arr[i], f2=arr[i+1]) over every adjacent
+    element pair — the ONE home for the guarded
+    sequence/element_at(i+1, i+2) index arithmetic (selection bigrams,
+    BPE pair counts).  Sub-2-element arrays yield only null entries;
+    callers explode and filter ``isNotNull`` (the shingle-stage
+    convention)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.when(
+            i + 2 <= F.size(arr),
+            F.struct(
+                F.element_at(arr, i + 1).alias(f1),
+                F.element_at(arr, i + 2).alias(f2),
+            ),
+        ),
+    )
+
+
+def join_in_order(collected, field: str, sep: str):
+    """reassemble a ``collect_list(struct(pos, value))`` column into the
+    values joined by ``sep`` in pos order — the ONE positional
+    reassembly idiom (array_sort orders the structs by pos first;
+    collect_list has already dropped null entries, so a when()-filter
+    inside the collect composes cleanly)."""
+    return F.array_join(
+        F.transform(F.array_sort(collected), lambda x: x[field]), sep
+    )
+
+
 def _materialize(df: DataFrame, use_local_checkpoint: bool) -> DataFrame:
     """Lineage cut for a multiply-referenced frame (the triangle_count
     lesson: un-cut, every plan reference re-runs the whole upstream).
@@ -785,10 +816,10 @@ def host_boilerplate_stats(
     per_doc = flagged.groupBy("doc_id", "source").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.col("boiler").cast("long")).cast("long").alias("n_boiler"),
-        # when() without otherwise -> null for boiler lines; collect_list
-        # drops nulls, array_sort orders the structs by pos
-        F.array_sort(
-            F.collect_list(F.when(~F.col("boiler"), F.struct("pos", "line")))
+        # when() without otherwise -> null for boiler lines, which
+        # collect_list drops
+        F.collect_list(
+            F.when(~F.col("boiler"), F.struct("pos", "line"))
         ).alias("kept"),
     )
     return per_doc.select(
@@ -797,9 +828,7 @@ def host_boilerplate_stats(
         "n_lines",
         "n_boiler",
         F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias("boiler_frac"),
-        F.array_join(
-            F.transform(F.col("kept"), lambda x: x["line"]), "\n"
-        ).alias("cleaned"),
+        join_in_order(F.col("kept"), "line", "\n").alias("cleaned"),
     )
 
 
@@ -837,12 +866,8 @@ def remove_duplicated_spans(
     )
     reassembled = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("kept_words"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda x: x["word"],
-            ),
-            " ",
+        join_in_order(
+            F.collect_list(F.struct("pos", "word")), "word", " "
         ).alias("cleaned"),
     )
     totals = docs.select("doc_id", word_count().alias("total_words"))

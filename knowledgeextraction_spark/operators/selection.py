@@ -342,20 +342,11 @@ LM_ALPHA = 1.0
 def _bigram_occurrences(docs: DataFrame) -> DataFrame:
     """→ (doc_id, w1, w2): one row per adjacent word pair of the
     normalized text.  Docs with fewer than two words emit nothing."""
+    from .dedup import adjacent_structs
+
     words = F.split(normalized_text(), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0)))
-    structs = F.transform(
-        idx,
-        lambda i: F.when(
-            i + 2 <= F.size(words),
-            F.struct(
-                F.element_at(words, i + 1).alias("w1"),
-                F.element_at(words, i + 2).alias("w2"),
-            ),
-        ),
-    )
     return (
-        docs.select("doc_id", F.explode(structs).alias("s"))
+        docs.select("doc_id", F.explode(adjacent_structs(words)).alias("s"))
         .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
         .filter((F.length("w1") > 0) & (F.length("w2") > 0))
     )
