@@ -69,6 +69,7 @@ HEADLINE = [
     "winnow_pairs",
     "tfidf_keywords",
     "pmi_bigrams",
+    "retention_cohorts",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

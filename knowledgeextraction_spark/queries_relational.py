@@ -383,8 +383,51 @@ FROM (
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over events: users grouped by the ISO
+    week of their FIRST event, counted distinct per activity-week
+    offset — the standard product-analytics rollup.  One
+    groupBy(user), a join back on the pre-hashed user key, one bounded
+    groupBy(cohort, offset); weeks as strings so the driver hash sees
+    identical dtypes in both engines."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cw = F.date_trunc("week", F.col("first_ts"))
+    aw = F.date_trunc("week", F.col("ts"))
+    j = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format(cw, "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(
+            F.datediff(aw.cast("date"), cw.cast("date")) / 7
+        ).cast("long").alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def sql_retention_cohorts() -> str:
+    return """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+a AS (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts) AS cw,
+         date_trunc('week', e.ts) AS aw
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(floor(date_diff('day', cw::DATE, aw::DATE) / 7) AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES2 = {
     "sessionize": q_sessionize,
+    "retention_cohorts": q_retention_cohorts,
     "anti_join": q_anti_join,
     "pricing_summary": q_pricing_summary,
     "rollup_revenue": q_rollup_revenue,
@@ -396,6 +439,7 @@ QUERIES2 = {
 
 ORACLES2 = {
     "sessionize": sql_sessionize(),
+    "retention_cohorts": sql_retention_cohorts(),
     "anti_join": sql_anti_join(),
     "pricing_summary": sql_pricing_summary(),
     "rollup_revenue": sql_rollup_revenue(),

@@ -71,6 +71,7 @@ AUDIT = [
     "pmi_bigrams",
     "vocab_min_occur",
     "sessionize",
+    "retention_cohorts",
     "conlleval_metrics",
     "seqeval_metrics",
 ]
