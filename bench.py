@@ -70,6 +70,7 @@ HEADLINE = [
     "tfidf_keywords",
     "pmi_bigrams",
     "retention_cohorts",
+    "event_funnel",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -425,9 +425,86 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → signup → purchase: a
+    user reaches step k when the first occurrence of each step is at
+    or after the previous step's first occurrence.  One
+    groupBy(user_id) with conditional mins, a single-row total, and a
+    4-row stack — nothing bigger than the user table ever shuffles."""
+    ev = _events(spark, sf_dir)
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        first_ts("view").alias("v"),
+        first_ts("click").alias("c"),
+        first_ts("signup").alias("s"),
+        first_ts("purchase").alias("p"),
+    )
+    r1 = F.col("v").isNotNull()
+    r2 = r1 & (F.col("c") >= F.col("v"))
+    r3 = r2 & (F.col("s") >= F.col("c"))
+    r4 = r3 & (F.col("p") >= F.col("s"))
+    tot = u.agg(
+        *[
+            F.sum(F.when(r, 1).otherwise(0)).cast("long").alias(f"r{i}")
+            for i, r in enumerate([r1, r2, r3, r4], start=1)
+        ]
+    )
+    steps = tot.selectExpr(
+        "r1 AS base",
+        """stack(4,
+           CAST(1 AS BIGINT), 'view', r1,
+           CAST(2 AS BIGINT), 'click', r2,
+           CAST(3 AS BIGINT), 'signup', r3,
+           CAST(4 AS BIGINT), 'purchase', r4) AS (step, step_name, n_users)""",
+    )
+    return steps.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.greatest(F.col("base"), F.lit(1)), 6
+        ).alias("conv"),
+    ).orderBy("step")
+
+
+def sql_event_funnel() -> str:
+    return """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT
+    CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN v IS NOT NULL AND c >= v
+             THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN v IS NOT NULL AND c >= v AND s >= c
+             THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+    CAST(sum(CASE WHEN v IS NOT NULL AND c >= v AND s >= c AND p >= s
+             THEN 1 ELSE 0 END) AS BIGINT) AS r4
+  FROM u
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, r1 AS n_users,
+         round(r1 / greatest(r1, 1), 6) AS conv FROM r
+  UNION ALL SELECT 2, 'click', r2, round(r2 / greatest(r1, 1), 6) FROM r
+  UNION ALL SELECT 3, 'signup', r3, round(r3 / greatest(r1, 1), 6) FROM r
+  UNION ALL SELECT 4, 'purchase', r4, round(r4 / greatest(r1, 1), 6) FROM r
+) t ORDER BY step
+"""
+
+
 QUERIES2 = {
     "sessionize": q_sessionize,
     "retention_cohorts": q_retention_cohorts,
+    "event_funnel": q_event_funnel,
     "anti_join": q_anti_join,
     "pricing_summary": q_pricing_summary,
     "rollup_revenue": q_rollup_revenue,
@@ -440,6 +517,7 @@ QUERIES2 = {
 ORACLES2 = {
     "sessionize": sql_sessionize(),
     "retention_cohorts": sql_retention_cohorts(),
+    "event_funnel": sql_event_funnel(),
     "anti_join": sql_anti_join(),
     "pricing_summary": sql_pricing_summary(),
     "rollup_revenue": sql_rollup_revenue(),
