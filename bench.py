@@ -71,6 +71,7 @@ HEADLINE = [
     "pmi_bigrams",
     "retention_cohorts",
     "event_funnel",
+    "corpus_shuffle",
     "conlleval_metrics",
     # iterative-join graph machinery over the built entity graph (each
     # re-runs the triples pipeline upstream, so these also watch the

@@ -601,3 +601,40 @@ def quality_lr_scores(
             ).alias("prob"),
         )
     )
+
+
+SHUFFLE_SEED = 7
+N_SHUFFLE_SHARDS = 32
+
+
+def shuffle_order(
+    docs: DataFrame,
+    seed: int = SHUFFLE_SEED,
+    n_shards: int = N_SHUFFLE_SHARDS,
+) -> DataFrame:
+    """→ (doc_id, shard, pos): the seeded deterministic corpus shuffle
+    that precedes packing — every epoch of pretraining consumes docs
+    in a pseudorandom order that must be REPRODUCIBLE (resume, lineage)
+    and cheap (no global sort).  The order key is md5(seed:doc_id);
+    docs land in md5 shards and get a dense 0-based position within
+    their shard by (key, doc_id).  One shuffle on the uniform shard
+    key; the per-shard window sorts corpus/n_shards rows — the
+    pack_chunks scale contract, raise ``n_shards`` with the cluster.
+    Changing ``seed`` permutes the order; the (doc_id) set is
+    unchanged."""
+    from pyspark.sql import Window
+
+    key_src = F.concat(
+        F.lit(f"{seed}:"), F.col("doc_id").cast("string")
+    )
+    keyed = docs.select(
+        "doc_id",
+        md5_mod(key_src, n_shards).alias("shard"),
+        F.md5(key_src).alias("k"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -2373,6 +2373,32 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle (selection.shuffle_order):
+    the reproducible pseudorandom training order every epoch consumes
+    — md5(seed:doc_id) order key, md5 shards, dense per-shard
+    positions.  One uniform-key shuffle; per-shard window only."""
+    return selection.shuffle_order(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def sql_corpus_shuffle() -> str:
+    s = selection.SHUFFLE_SEED
+    n = selection.N_SHUFFLE_SHARDS
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{s}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % {n} AS shard,
+         md5('{s}:' || doc_id::VARCHAR) AS k
+  FROM documents d
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+            AS BIGINT) AS pos
+FROM keyed ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -3876,6 +3902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "tfidf_keywords": q_tfidf_keywords,
     "pmi_bigrams": q_pmi_bigrams,
+    "corpus_shuffle": q_corpus_shuffle,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -3978,6 +4005,7 @@ ORACLES: dict[str, str] = {
     "winnow_pairs": sql_winnow_pairs(),
     "tfidf_keywords": sql_tfidf_keywords(),
     "pmi_bigrams": sql_pmi_bigrams(),
+    "corpus_shuffle": sql_corpus_shuffle(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
     "dedup_embedding": sql_dedup_embedding(),

@@ -1432,3 +1432,32 @@ def test_pmi_bigrams_planted(spark):
         ("p", "q", 1, round(math.log(3.0), 6)),
         ("x", "y", 2, round(math.log(1.5), 6)),
     ]
+
+
+def test_shuffle_order_planted(spark):
+    from knowledgeextraction_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    a = selection.shuffle_order(docs, seed=1, n_shards=4).collect()
+    b = selection.shuffle_order(docs, seed=2, n_shards=4).collect()
+    # same doc set, dense 0..k-1 positions within every shard
+    assert {r["doc_id"] for r in a} == set(range(40))
+    for rows in (a, b):
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps)))
+    # a different seed permutes the order (shard or pos changes for
+    # at least one doc) but never the membership
+    amap = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    bmap = {r["doc_id"]: (r["shard"], r["pos"]) for r in b}
+    assert amap != bmap
+    # rerun with the same seed is bit-identical (reproducible epochs)
+    a2 = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in selection.shuffle_order(docs, seed=1, n_shards=4).collect()
+    }
+    assert a2 == {(d, s, p) for d, (s, p) in amap.items()}
