@@ -72,6 +72,8 @@ AUDIT = [
     "vocab_min_occur",
     "sessionize",
     "retention_cohorts",
+    "event_funnel",
+    "corpus_shuffle",
     "conlleval_metrics",
     "seqeval_metrics",
 ]
