@@ -170,3 +170,69 @@ def entity_component_map(
         .groupBy("entity_id")
         .agg(F.min("component_id").alias("canonical_id"))
     )
+
+
+def entity_component_map_rows(
+    equivalences: list[tuple[str, str]], entities: list
+) -> list[tuple[int, int]]:
+    """Driver fast path of ``entity_component_map`` for DIMENSION-scale
+    inputs that exist as plain python lists (the seed dictionary): the
+    exact same semantics — surface_dictionary's (normalized surface,
+    label_type) → min-entity-id dedup, equivalence edges expanded
+    through shared surfaces, min-id union-find, per-entity min
+    component — with zero Spark jobs.  The `_driver_components`
+    adaptive-local precedent, one level up: a ~10²-surface dictionary
+    costs ~2 s of tiny-shuffle scheduling through the distributed
+    operator (measured, bench_extra r06) and microseconds here; the
+    distributed operator stays the scale path for dictionary
+    DataFrames that are not driver-resident.  Parity with the
+    distributed operator is pytest-asserted
+    (tests/test_spark_pipeline.py::test_entity_component_map_local_parity).
+
+    ``entities``: objects with entity_id / canonical_name / aliases /
+    label_type (fixtures.generator.Entity).  → sorted (entity_id,
+    canonical_id) rows.
+    """
+    from ..core.textops import normalize_digits
+
+    # surface_dictionary: one row per (normalized surface, label_type),
+    # keyed to the smallest entity_id
+    dic: dict[tuple[str, str], int] = {}
+    for e in entities:
+        for s in [e.canonical_name, *e.aliases]:
+            k = (normalize_digits(s), e.label_type)
+            if k not in dic or e.entity_id < dic[k]:
+                dic[k] = e.entity_id
+    by_surface: dict[str, list[int]] = {}
+    for (s, _t), eid in dic.items():
+        by_surface.setdefault(s, []).append(eid)
+
+    # surface_components: union-find over node ids linked by
+    # (normalized) equivalence endpoints sharing a dictionary surface
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in equivalences:
+        na = by_surface.get(normalize_digits(a), [])
+        nb = by_surface.get(normalize_digits(b), [])
+        for x in na:
+            for y in nb:
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+    comp = {n: find(n) for n in list(parent)}
+
+    # entity_component_map: sid ⋈ surface_components on surface (all
+    # types of the surface), min component per entity
+    best: dict[int, int] = {}
+    for (s, _t), eid in dic.items():
+        m = min(comp.get(n, n) for n in by_surface[s])
+        if eid not in best or m < best[eid]:
+            best[eid] = m
+    return sorted(best.items())

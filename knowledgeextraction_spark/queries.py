@@ -258,17 +258,23 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     detect mapInPandas → in-array pairing → broadcast joins → distinct.
     Parity with the granular operator chain and the numpy oracle is
     asserted in tests/test_spark_pipeline.py."""
-    from .operators.canonicalize import entity_component_map
+    from .operators.canonicalize import entity_component_map_rows
     from .operators.detect import detect_records_from_pages
-    from .operators.link import surface_dictionary
     from .operators.triples import emit_triples_narrow
 
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
     rm = detect_records_from_pages(zh.repartition(par), weights_broadcast(spark))
-    cmap = entity_component_map(
-        pages_src.equivalences_df(spark, pages_src.doc_equivalences()),
-        surface_dictionary(pages_src.entities_df(spark)),
+    # dimension prep on the driver (r06): the seed dictionary exists as
+    # python lists, and the distributed cmap operator cost ~2 s of
+    # tiny-shuffle scheduling PER TRIAL inside every consumer of this
+    # pipeline (kg_triples + the four graph queries) — the python twin
+    # is semantics-identical (pytest parity gate) and job-free
+    cmap = spark.createDataFrame(
+        entity_component_map_rows(
+            pages_src.doc_equivalences(), pages_src.dictionary()[0]
+        ),
+        "entity_id long, canonical_id long",
     )
     return emit_triples_narrow(
         rm, pages_src.rules_df(spark), pages_src.entities_df(spark), cmap

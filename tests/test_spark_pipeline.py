@@ -104,6 +104,31 @@ def test_components_match_expected(spark, corpus):
     assert got == corpus.expected_components
 
 
+def test_entity_component_map_local_parity(spark, corpus):
+    """The driver fast path (entity_component_map_rows, r06) must equal
+    the distributed operator bit-for-bit — on the pytest fixture
+    dictionary AND on the doc-world dictionary q_kg_triples actually
+    feeds it."""
+    from knowledgeextraction_spark.operators.canonicalize import (
+        entity_component_map,
+        entity_component_map_rows,
+    )
+    from knowledgeextraction_spark.operators.link import surface_dictionary
+    from knowledgeextraction_spark.sources import pages as ps
+
+    for eq, ents in [
+        (corpus.equivalences, corpus.entities),
+        (ps.doc_equivalences(), ps.dictionary()[0]),
+    ]:
+        dist = entity_component_map(
+            equivalences_df(spark, eq),
+            surface_dictionary(entities_df(spark, ents)),
+        )
+        want = sorted((r["entity_id"], r["canonical_id"]) for r in dist.collect())
+        got = entity_component_map_rows(eq, ents)
+        assert got == want
+
+
 def test_resume_skips_completed_stages(spark, corpus, tmp_path):
     """[NORTH] resumability: second run re-reads snapshots, outputs equal."""
     pages = fixture_pages(spark, corpus)
