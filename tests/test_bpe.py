@@ -67,6 +67,57 @@ def test_bpe_encode_planted(spark):
     assert got == {1: (2, 2), 2: (1, 3)}
 
 
+def test_bpe_driver_path_matches_distributed(spark):
+    """r06: the driver-side merge loop (vocab under DRIVER_VOCAB_ROWS)
+    and the distributed per-round loop (forced via driver_vocab_rows=0)
+    must learn the identical merge sequence."""
+    from knowledgeextraction_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest"),
+         (2, "newest newest newest newest widest widest widest"),
+         (3, "aaaa aa aaaa banana bandana ananas the cat sat")],
+        "doc_id long, text string",
+    )
+    fast = bpe.train_bpe(docs, n_merges=12)
+    dist = bpe.train_bpe(docs, n_merges=12, driver_vocab_rows=0)
+    assert fast == dist
+
+
+def test_bpe_encode_udf_matches_oracle_at_high_merge_count(spark):
+    """r06: the pandas_udf encoder (replacing the n_merges-deep
+    Catalyst fold) equals the python oracle encoder at a merge count
+    far past the old expression-depth ceiling."""
+    from knowledgeextraction_spark.operators import bpe
+    from knowledgeextraction_spark.oracle import bpe as pybpe
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs the quick brown fox",
+        "sphinx of black quartz judge my vow jumps jumps jugs dog",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split())
+    merges = pybpe.train_bpe(freqs, n_merges=600)
+    assert bpe.train_bpe(docs, n_merges=600) == merges
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.encode_token_counts(docs, merges=merges).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        words = t.split()
+        want[i] = (
+            len(words),
+            sum(pybpe.encode_word(w, merges) for w in words),
+        )
+    assert got == want
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 def test_bpe_golden_fresh(sf):
     """Committed golden parquet == a live python-oracle recompute."""
