@@ -456,14 +456,21 @@ def nll_terciles(
 # DSIR is the generative (Naive-Bayes-ratio) scorer, this is the
 # discriminatively TRAINED one.
 #
-# Scale shape per iteration: the feature table (one row per doc×bucket,
-# bias included) joins the B-bounded broadcast weight table and folds
-# to per-doc margins (one uniform groupBy(doc_id)); residuals join back
-# and fold to per-bucket gradients (one B-bounded groupBy) — two
-# linear shuffles per iteration, nothing driver-sized, weights stay a
-# <=B+1-row broadcast.  The feature table is materialized once and
-# every iteration reads it; the weight frame's lineage is cut per
-# round (the pagerank iterative-join pattern).
+# Scale shape per iteration (r06 formulation): the per-doc feature
+# ARRAYS table (doc_id, y, buckets[], xs[] — one row per doc, row
+# width bounded by B+1) is materialized once; margins and residuals
+# are then NARROW Catalyst array expressions against the constant-
+# folded weight array literal — zero per-round joins, zero per-round
+# doc_id shuffles (the former formulation's two shuffles/round cost
+# ~5 AQE stage waves of scheduling latency per round, dominating the
+# round at any data size where the barrier is the bottleneck).  The
+# per-bucket gradient combine is map-side partial vectors (one
+# B+1-slot float64 accumulator per task) either collected and summed
+# on the driver (bounded: n_partitions × B rows — the default up to
+# DRIVER_COMBINE_MAX_PARTIALS) or finished by one B-bounded groupBy
+# exchange (the fallback for very wide clusters); weights stay a
+# ≤B+1 driver-resident vector (the BPE-argmax bounded-collect
+# precedent).
 #
 # Optimization: plain full-batch GD is hopeless here — the all-ones
 # bias column and the ~1/nnz-magnitude tf columns condition the
@@ -479,13 +486,41 @@ def nll_terciles(
 # Cross-engine determinism: margins, probabilities and gradients are
 # quantized to 9 dp at each reduction (sum-order drift ~1e-12 against
 # the 1e-9 grid); the weight recurrence then consumes identical inputs
-# in an identical sequence in both engines.
+# in an identical sequence in both engines.  The driver-side gradient
+# combine rounds through ``_round_half_up`` — the python twin of
+# Spark's F.round (BigDecimal.valueOf → HALF_UP), NOT python round()
+# (banker's) or np.round (also banker's); the residual shortest-repr
+# grid-boundary risk is the same documented probabilistic one the
+# Spark↔DuckDB contract already carries (graph.py module docstring).
 
 LR_ITERS = 12
 LR_RATE = 0.04
 LR_EPS = 1e-9
 LR_DP = 9
 BIAS_BUCKET = -1
+
+# gradient-combine strategy bound: collect per-task partial gradient
+# vectors when n_partitions × (B+1) stays under this many rows
+# (driver-bounded, one job, ZERO shuffles per round); past it, fall
+# back to the one-exchange B-bounded groupBy combine.  512 tasks × 1025
+# slots ≈ 0.5M rows ≈ 12 MB — comfortably driver-sized.
+DRIVER_COMBINE_MAX_PARTIALS = 512 * 1024
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark F.round(double, dp) twin: BigDecimal.valueOf(x) quantized
+    HALF_UP — python's shortest repr matches Double.toString's decimal
+    value for round-trip purposes, and Decimal(repr(x)) quantized
+    HALF_UP reproduces the Catalyst result (python's built-in round()
+    and numpy's round() are HALF_EVEN and would diverge at .5 grid
+    points)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP)
+    )
 
 
 def quality_features(docs: DataFrame, ngram_max: int = 2) -> DataFrame:
@@ -529,77 +564,148 @@ def quality_lr_scores(
     training trajectory and the final scores are engine-portable (the
     pagerank quantization contract; the residual 1-ulp grid-boundary
     risk is the same documented one)."""
-    # pre-partition the feature table on doc_id BEFORE the lineage cut:
-    # the checkpointed frame keeps its hash partitioning, so the hot
-    # per-round margin groupBy(doc_id) needs no exchange at all — the
-    # only per-round shuffle left is the B-bounded gradient combine
-    feat = _materialize(
-        quality_features(docs, ngram_max).repartition("doc_id"),
-        use_local_checkpoint,
-    )
-    n_docs = labels.agg(F.count("*").cast("double").alias("n"))
-    precond = (
-        feat.crossJoin(F.broadcast(n_docs))
-        .groupBy("bucket")
-        .agg(
-            F.round(
-                F.sum(F.col("x") * F.col("x") / F.col("n")), LR_DP
-            ).alias("h")
-        )
-    )
-    precond = _materialize(precond, use_local_checkpoint)
-    w = feat.select("bucket").distinct().select(
-        "bucket", F.lit(0.0).alias("w")
-    )
-    for _ in range(n_iter):
-        s = (
-            feat.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id")
-            .agg(F.round(F.sum(F.col("x") * F.col("w")), LR_DP).alias("s"))
-        )
-        resid = s.join(labels, "doc_id").select(
-            "doc_id",
-            (
-                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))), LR_DP)
-                - F.col("y")
-            ).alias("r"),
-        )
-        grad = (
-            feat.join(resid, "doc_id")
-            .crossJoin(F.broadcast(n_docs))
-            .groupBy("bucket")
-            .agg(
-                F.round(
-                    F.sum(F.col("x") * F.col("r") / F.col("n")), LR_DP
-                ).alias("g")
-            )
-        )
-        w = _materialize(
-            w.join(grad, "bucket")
-            .join(precond, "bucket")
-            .select(
-                "bucket",
-                F.round(
-                    F.col("w")
-                    - F.lit(lr)
-                    * F.col("g")
-                    / (F.lit(0.25) * F.col("h") + F.lit(LR_EPS)),
-                    LR_DP,
-                ).alias("w"),
-            ),
-            use_local_checkpoint,
-        )
-    return (
-        feat.join(F.broadcast(w), "bucket")
+    # ONE doc_id shuffle total: fold the (doc_id, bucket, x) feature
+    # stream into per-doc ALIGNED ARRAYS with the label attached.
+    # Row width is bounded by B+1 slots, so the row is bounded at any
+    # corpus size; every subsequent round reads this frame narrowly.
+    featA = _materialize(
+        quality_features(docs, ngram_max)
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("x") * F.col("w")), LR_DP).alias("score"))
+        .agg(F.collect_list(F.struct("bucket", "x")).alias("bx"))
+        .join(labels, "doc_id")
         .select(
             "doc_id",
-            F.round("score", 6).alias("score"),
-            F.round(
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
-            ).alias("prob"),
+            "y",
+            F.col("bx.bucket").alias("buckets"),
+            F.col("bx.x").alias("xs"),
+        ),
+        use_local_checkpoint,
+    )
+    # labels cover every doc and every doc carries the bias feature,
+    # so featA has exactly one row per doc — N collected as an exact
+    # integer (same double the former 1-row count frame carried)
+    n_val = float(featA.count())
+
+    use_driver_combine = (
+        featA.rdd.getNumPartitions() * (N_BUCKETS + 1)
+        <= DRIVER_COMBINE_MAX_PARTIALS
+    )
+
+    def _combine(df: DataFrame, out_dp: int) -> dict[int, float]:
+        """Per-bucket sum of (x·scale)/N terms where ``df`` carries
+        (buckets, xs, scale) — scale a per-ROW scalar (evaluated once
+        per row at the Arrow/exchange boundary; an element-wise
+        transform would re-inline it per element via CollapseProject).
+        Map-side partial B+1-slot float64 accumulators, combined on
+        the driver when bounded (zero shuffles) else via one B-bounded
+        exchange; rounded to ``out_dp`` either way (the driver path
+        through the F.round twin).  Term arithmetic is (x·scale)/N in
+        both paths — identical per-term IEEE ops to the former
+        Catalyst sum((x*r)/n)."""
+        import numpy as np
+
+        if use_driver_combine:
+
+            def kernel(batches):
+                import pandas as _pd
+
+                acc = np.zeros(N_BUCKETS + 1, dtype=np.float64)
+                seen = np.zeros(N_BUCKETS + 1, dtype=bool)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    # vectorized across the whole batch: flatten the
+                    # per-doc arrays once, repeat each doc's scale over
+                    # its own slots, one unbuffered (in-order) add
+                    lens = np.fromiter(
+                        (len(b) for b in pdf["buckets"]), dtype=np.int64
+                    )
+                    idx = np.concatenate(list(pdf["buckets"])).astype(np.int64) + 1
+                    xs = np.concatenate(list(pdf["xs"])).astype(np.float64)
+                    sc = np.repeat(pdf["scale"].to_numpy(np.float64), lens)
+                    np.add.at(acc, idx, (xs * sc) / n_val)
+                    seen[idx] = True
+                nz = np.flatnonzero(seen)
+                yield _pd.DataFrame({"bucket": nz - 1, "pg": acc[nz]})
+
+            rows = df.mapInPandas(kernel, "bucket long, pg double").collect()
+            tot: dict[int, float] = {}
+            for r in rows:  # collect() preserves partition order
+                tot[r["bucket"]] = tot.get(r["bucket"], 0.0) + r["pg"]
+            return {b: _round_half_up(v, out_dp) for b, v in tot.items()}
+        agg = (
+            df.select(F.explode(F.arrays_zip("buckets", "xs")).alias("z"), "scale")
+            .groupBy(F.col("z.buckets").alias("bucket"))
+            .agg(
+                F.round(
+                    F.sum(F.col("z.xs") * F.col("scale") / F.lit(n_val)),
+                    out_dp,
+                ).alias("g")
+            )
+            .collect()
         )
+        return {r["bucket"]: r["g"] for r in agg}
+
+    def margin(w_map: dict[int, float]) -> F.Column:
+        """round(Σ_i xs[i]·w[buckets[i]], dp) as a narrow array fold
+        against the constant weight vector, indexed bucket+2
+        (element_at is 1-based; slot 1 = the BIAS_BUCKET=-1 weight).
+        Built as ONE SQL string: constructing the 1025-slot array
+        through the python Column API costs ~0.5 s of py4j round-trips
+        PER ROUND (measured), the parsed-at-once expr ~0.1 s; repr()
+        double literals round-trip exactly and the 'D' suffix keeps
+        them DoubleType (bare decimals parse as DECIMAL)."""
+        arr_sql = "array(" + ",".join(
+            repr(w_map.get(b, 0.0)) + "D" for b in range(-1, N_BUCKETS)
+        ) + ")"
+        return F.expr(
+            "round(aggregate(zip_with(xs, transform(buckets, "
+            f"b -> element_at({arr_sql}, cast(b + 2 as int))), "
+            "(x, w) -> x * w), 0.0D, (acc, v) -> acc + v), "
+            f"{LR_DP})"
+        )
+
+    # preconditioner: h_b = round(Σ_d (x_db·x_db)/N, dp) — computed
+    # ONCE, so it just uses the exchange path (its per-element square
+    # has no outer-row reference, so there is no re-inlining hazard)
+    h_rows = (
+        featA.select(F.explode(F.arrays_zip("buckets", "xs")).alias("z"))
+        .groupBy(F.col("z.buckets").alias("bucket"))
+        .agg(
+            F.round(
+                F.sum(F.col("z.xs") * F.col("z.xs") / F.lit(n_val)), LR_DP
+            ).alias("h")
+        )
+        .collect()
+    )
+    h_map = {r["bucket"]: r["h"] for r in h_rows}
+    w_map = {b: 0.0 for b in h_map}
+    for _ in range(n_iter):
+        # residual per doc (narrow): r_d = round(σ(s_d), dp) − y_d,
+        # evaluated once per row at the mapInPandas boundary; gradient
+        # terms (x·r)/N accumulate map-side — the whole round is one
+        # job with NO shuffle at all on the driver-combine path
+        r_col = (
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w_map))), LR_DP
+            )
+            - F.col("y")
+        )
+        g_map = _combine(
+            featA.select("buckets", "xs", r_col.alias("scale")), LR_DP
+        )
+        w_map = {
+            b: _round_half_up(
+                w_map[b] - lr * g / (0.25 * h_map[b] + LR_EPS), LR_DP
+            )
+            for b, g in g_map.items()
+        }
+    return featA.select("doc_id", margin(w_map).alias("s")).select(
+        "doc_id",
+        F.round("s", 6).alias("score"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))), 6
+        ).alias("prob"),
     )
 
 

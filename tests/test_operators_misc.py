@@ -1263,6 +1263,57 @@ def test_quality_lr_separates_planted(spark):
     assert selection.quality_lr_scores(with_empty, labels2).count() == 17
 
 
+def test_round_half_up_matches_spark_round(spark):
+    """r06: _round_half_up (the driver-combine rounding twin) must
+    equal Catalyst F.round(double, dp) — including the HALF_UP tie
+    cases where python round()/np.round (banker's) diverge."""
+    from pyspark.sql import functions as SF
+
+    from knowledgeextraction_spark.operators.selection import _round_half_up
+
+    vals = [
+        0.0, 1.0, -1.0, 0.5e-9, 1.5e-9, 2.5e-9, -0.5e-9, -1.5e-9,
+        1.15e-8, -1.15e-8, 0.123456789499, 0.1234567895, -0.1234567895,
+        3.0000000005, -3.0000000005, 1e-12, -1e-12, 123.456789123456,
+        0.9999999995, -0.9999999995, 7.0000000025,
+    ]
+    import random
+
+    rng = random.Random(7)
+    vals += [rng.uniform(-2, 2) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [r["r"] for r in df.select(SF.round("x", 9).alias("r")).collect()]
+    got = [_round_half_up(v, 9) for v in vals]
+    assert got == want
+
+
+def test_quality_lr_combine_paths_agree(spark, monkeypatch):
+    """r06: the driver partial-vector gradient combine and the
+    one-exchange groupBy fallback must train to the same scores."""
+    from pyspark.sql import functions as SF
+
+    from knowledgeextraction_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta") for i in range(6)]
+        + [(100 + i, f"uno dos tres v{i} cuatro") for i in range(6)],
+        "doc_id long, text string",
+    )
+    labels = docs.select(
+        "doc_id", (SF.col("doc_id") < 100).cast("double").alias("y")
+    )
+    a = {
+        (r["doc_id"], r["score"], r["prob"])
+        for r in selection.quality_lr_scores(docs, labels).collect()
+    }
+    monkeypatch.setattr(selection, "DRIVER_COMBINE_MAX_PARTIALS", 0)
+    b = {
+        (r["doc_id"], r["score"], r["prob"])
+        for r in selection.quality_lr_scores(docs, labels).collect()
+    }
+    assert a == b
+
+
 def test_remove_duplicated_spans_planted(spark):
     from knowledgeextraction_spark.operators import dedup
 
