@@ -64,6 +64,62 @@ def _edge_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_pagerank(
+    edge_rows: list[tuple[int, int]],
+    damping: float,
+    n_iter: int,
+    round_dp: int,
+    redistribute_dangling: bool,
+):
+    """Driver loop for dimension-scale graphs (the
+    connected_components._driver_components precedent): an iterative
+    distributed PageRank over a ~10²-node graph costs n_iter shuffle
+    barriers of pure scheduling latency; a graph below the threshold
+    is driver work.  Identical recurrence, identical per-round
+    quantization (``selection._round_half_up`` is the BigDecimal
+    HALF_UP twin of F.round); sum-order drift vs the distributed
+    groupBy sums is absorbed by the same 1e-``round_dp`` grid that
+    already makes the Spark↔DuckDB contract hold (module docstring
+    caveat applies equally).  Parity with the distributed loop is
+    pytest-asserted (tests/test_graph.py)."""
+    import numpy as np
+
+    from .selection import _round_half_up
+
+    nodes = sorted({n for e in edge_rows for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    src = np.fromiter((idx[s] for s, _d in edge_rows), dtype=np.int64)
+    dst = np.fromiter((idx[d] for _s, d in edge_rows), dtype=np.int64)
+    outdeg = np.zeros(n, dtype=np.float64)
+    np.add.at(outdeg, src, 1.0)
+    dangling = outdeg == 0.0
+    teleport = 1.0 - damping
+    rank = np.ones(n, dtype=np.float64)
+    for _ in range(n_iter):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, rank[src] / outdeg[src])
+        extra = 0.0
+        if redistribute_dangling:
+            dang = _round_half_up(float(rank[dangling].sum()), round_dp)
+            extra = dang / n
+        rank = np.fromiter(
+            (
+                _round_half_up(teleport + damping * (c + extra), round_dp)
+                for c in contrib
+            ),
+            dtype=np.float64,
+            count=n,
+        )
+    return [(node, float(rank[idx[node]])) for node in nodes]
+
+
+# adaptive driver-vs-distributed bound, the connected_components
+# driver_threshold convention: below this many edges the iterative
+# barriers cost more than the whole computation
+PR_DRIVER_THRESHOLD = 100_000
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
@@ -72,6 +128,7 @@ def pagerank(
     use_local_checkpoint: bool = True,
     redistribute_dangling: bool = False,
     checkpoint_every: int = 1,
+    driver_threshold: int = PR_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """edges(src long, dst long), directed + deduped, self-loops
     excluded by the caller → (id long, rank double).
@@ -128,7 +185,26 @@ def pagerank(
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     edges = edges.select("src", "dst")
-    if use_local_checkpoint:
+    edges_cut = False
+    if use_local_checkpoint and driver_threshold > 0:
+        # materialize FIRST (upstream runs once), then probe the size:
+        # dimension-scale graphs take the driver loop (zero per-round
+        # barriers), everything else falls through to the distributed
+        # rounds below — same adaptive shape as connected_components
+        edges = edges.localCheckpoint(eager=True)
+        edges_cut = True
+        if edges.limit(driver_threshold + 1).count() <= driver_threshold:
+            rows = _driver_pagerank(
+                [(r[0], r[1]) for r in edges.collect()],
+                damping,
+                n_iter,
+                round_dp,
+                redistribute_dangling,
+            )
+            return edges.sparkSession.createDataFrame(
+                rows, "id long, rank double"
+            )
+    if use_local_checkpoint and not edges_cut:
         # Materializing raw edges FIRST means the caller's upstream plan
         # (for the entity graph: the whole triples pipeline) executes
         # exactly once, even though three derived frames reference it.

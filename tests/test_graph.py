@@ -105,6 +105,30 @@ def test_pagerank_dangling_redistribution(spark):
     assert leak_total < 5.0 - 0.01
 
 
+def test_pagerank_driver_path_matches_distributed(spark):
+    """r06: the adaptive driver loop (edge count under
+    PR_DRIVER_THRESHOLD) must equal the distributed rounds (forced via
+    driver_threshold=0) bit-for-bit, both variants."""
+    from knowledgeextraction_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0), (6, 2), (4, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for dangling in (False, True):
+        fast = {
+            r["id"]: r["rank"]
+            for r in graph.pagerank(
+                df, redistribute_dangling=dangling
+            ).collect()
+        }
+        dist = {
+            r["id"]: r["rank"]
+            for r in graph.pagerank(
+                df, redistribute_dangling=dangling, driver_threshold=0
+            ).collect()
+        }
+        assert fast == dist
+
+
 def test_pagerank_invariant_to_partitioning(spark):
     """The per-round 10-dp quantization must make ranks EXACTLY equal
     across partitionings (different groupBy-sum orders), not just
