@@ -2484,6 +2484,12 @@ def _dedup_keep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+    # r06: materialize the edge set BEFORE connected_components — its
+    # adaptive local-vs-distributed probe (limit+count) and the driver
+    # union-find's collect() otherwise each re-run the whole LSH
+    # candidate + Jaccard-verify DAG (measured ~1.5 s per extra run at
+    # sf0.1; the edge set itself is |members|+|near pairs|, tiny)
+    edges = edges.localCheckpoint(eager=True)
     comp = connected_components(edges)
     return (
         d.select("doc_id")
