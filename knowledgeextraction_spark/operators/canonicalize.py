@@ -194,15 +194,11 @@ def entity_component_map_rows(
     canonical_id) rows.
     """
     from ..core.textops import normalize_digits
+    from .link import surface_dictionary_rows
 
     # surface_dictionary: one row per (normalized surface, label_type),
-    # keyed to the smallest entity_id
-    dic: dict[tuple[str, str], int] = {}
-    for e in entities:
-        for s in [e.canonical_name, *e.aliases]:
-            k = (normalize_digits(s), e.label_type)
-            if k not in dic or e.entity_id < dic[k]:
-                dic[k] = e.entity_id
+    # keyed to the smallest entity_id (shared driver twin, link.py)
+    dic = {(s, t): eid for s, t, eid in surface_dictionary_rows(entities)}
     by_surface: dict[str, list[int]] = {}
     for (s, _t), eid in dic.items():
         by_surface.setdefault(s, []).append(eid)

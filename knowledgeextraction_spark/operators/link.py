@@ -67,6 +67,25 @@ def surface_dictionary(entities: DataFrame) -> DataFrame:
     )
 
 
+def surface_dictionary_rows(entities: list) -> list[tuple[str, str, int]]:
+    """Driver twin of ``surface_dictionary`` for DIMENSION-scale entity
+    lists that exist as plain python objects (the seed dictionary): the
+    exact same semantics — one row per (normalized surface, label_type)
+    keyed to the smallest entity_id — with zero Spark jobs (the r06
+    entity_component_map_rows precedent; parity pytest-asserted).
+    ``entities``: objects with entity_id / canonical_name / aliases /
+    label_type.  → rows sorted by (surface, label_type)."""
+    from ..core.textops import normalize_digits
+
+    dic: dict[tuple[str, str], int] = {}
+    for e in entities:
+        for s in [e.canonical_name, *e.aliases]:
+            k = (normalize_digits(s), e.label_type)
+            if k not in dic or e.entity_id < dic[k]:
+                dic[k] = e.entity_id
+    return sorted((s, t, eid) for (s, t), eid in dic.items())
+
+
 def link_mentions(
     mentions: DataFrame,
     entities: DataFrame,

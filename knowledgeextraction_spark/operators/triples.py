@@ -121,6 +121,7 @@ def emit_triples_narrow(
     rules: DataFrame,
     entities: DataFrame,
     component_map: DataFrame,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """Shuffle-minimal triple emission from the fused detect output.
 
@@ -186,7 +187,11 @@ def emit_triples_narrow(
         "inner",
     ).filter(F.instr(F.col("between"), F.col("pattern")) > 0)
 
-    dic = surface_dictionary(entities)
+    # ``dictionary``: an optional prebuilt (surface, label_type,
+    # entity_id) frame — a caller whose dictionary is driver-resident
+    # (link.surface_dictionary_rows) passes a local relation and skips
+    # the explode+groupBy sub-DAG under each broadcast build (r06)
+    dic = dictionary if dictionary is not None else surface_dictionary(entities)
     subj_dic = dic.select(
         F.col("surface").alias("surf1"),
         F.col("label_type").alias("t1"),

@@ -276,8 +276,18 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "entity_id long, canonical_id long",
     )
+    from .operators.link import surface_dictionary_rows
+
+    dic = spark.createDataFrame(
+        surface_dictionary_rows(pages_src.dictionary()[0]),
+        "surface string, label_type string, entity_id long",
+    )
     return emit_triples_narrow(
-        rm, pages_src.rules_df(spark), pages_src.entities_df(spark), cmap
+        rm,
+        pages_src.rules_df(spark),
+        pages_src.entities_df(spark),
+        cmap,
+        dictionary=dic,
     )
 
 

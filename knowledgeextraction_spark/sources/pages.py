@@ -167,6 +167,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF (core.textops.render_html); the extract stage must invert
     it byte-identically.
     """
+    # NOTE (r06, measured): do NOT repartition before the render UDF at
+    # this input size — the single-task pipelined scan→translit→render
+    # beats exchange + 32 Arrow round-trips ~2× at sf0.1 (0.45s vs
+    # 0.7-0.8s); the downstream detect stage repartitions explicitly.
+    # At production scale the scan itself has thousands of file-splits
+    # and the question disappears (bench.py's ×96 scaling fixture
+    # repartitions its replicated input for the same reason).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
         F.expr(URL_EXPR).alias("url"),

@@ -116,6 +116,8 @@ def test_entity_component_map_local_parity(spark, corpus):
     from knowledgeextraction_spark.operators.link import surface_dictionary
     from knowledgeextraction_spark.sources import pages as ps
 
+    from knowledgeextraction_spark.operators.link import surface_dictionary_rows
+
     for eq, ents in [
         (corpus.equivalences, corpus.entities),
         (ps.doc_equivalences(), ps.dictionary()[0]),
@@ -127,6 +129,11 @@ def test_entity_component_map_local_parity(spark, corpus):
         want = sorted((r["entity_id"], r["canonical_id"]) for r in dist.collect())
         got = entity_component_map_rows(eq, ents)
         assert got == want
+        dic_dist = sorted(
+            (r["surface"], r["label_type"], r["entity_id"])
+            for r in surface_dictionary(entities_df(spark, ents)).collect()
+        )
+        assert surface_dictionary_rows(ents) == dic_dist
 
 
 def test_resume_skips_completed_stages(spark, corpus, tmp_path):
