@@ -347,11 +347,61 @@ def _kmv_truncate(sketch: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _driver_kmv_reach(
+    edge_rows: list[tuple[int, int]], k: int, kmv_k: int
+) -> list[tuple[int, int]]:
+    """Driver twin of the KMV sketch loop for dimension-scale graphs
+    (the _driver_pagerank precedent).  Everything is exact by the same
+    argument as the DuckDB oracle mirror: md5 is engine-independent,
+    lexicographic hex ordering equals Spark's UTF8 binary order, and
+    the estimate branch uses only exactly-representable doubles with
+    an explicit floor — so driver-vs-distributed equality is bitwise,
+    not quantized."""
+    import hashlib
+    import math
+
+    cap = kmv_k + 1
+    dedup = {(s, d) for s, d in edge_rows}
+    nodes = sorted({n for e in dedup for n in e})
+    hv = {n: hashlib.md5(str(n).encode()).hexdigest() for n in nodes}
+    adj: dict[int, set[int]] = {}
+    for s, d in dedup:
+        adj.setdefault(s, set()).add(d)
+    sketch = {
+        n: sorted({hv[d] for d in adj.get(n, ())})[:cap] for n in nodes
+    }
+    for _ in range(k - 1):
+        sketch = {
+            n: sorted(
+                set(sketch[n]).union(
+                    *(sketch[d] for d in adj.get(n, ()))
+                )
+            )[:cap]
+            for n in nodes
+        }
+    numer = float((kmv_k - 1) * (1 << 52))
+    out = []
+    for n in nodes:
+        s = sketch[n]
+        nonself = [h for h in s if h != hv[n]][:kmv_k]
+        if not nonself:
+            out.append((n, 0))
+            continue
+        if len(s) >= cap:
+            kth = max(float(int(nonself[-1][:13], 16)), 1.0)
+            reach = int(math.floor(numer / kth))
+        else:
+            reach = len(nonself)
+        out.append((n, reach))
+    return out
+
+
 def kmv_reach_counts(
     edges: DataFrame,
     k: int = 2,
     kmv_k: int = KMV_K,
     use_local_checkpoint: bool = True,
+    driver_threshold: int = PR_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """Scale-safe k-hop reachability: ``khop_counts`` semantics —
     (id long, reach long), distinct nodes reachable in 1..k directed
@@ -392,6 +442,16 @@ def kmv_reach_counts(
     edges = edges.select("src", "dst")
     if use_local_checkpoint:
         edges = edges.localCheckpoint(eager=True)
+        if (
+            driver_threshold > 0
+            and edges.limit(driver_threshold + 1).count() <= driver_threshold
+        ):
+            rows = _driver_kmv_reach(
+                [(r[0], r[1]) for r in edges.collect()], k, kmv_k
+            )
+            return edges.sparkSession.createDataFrame(
+                rows, "id long, reach long"
+            )
     nodes = _edge_nodes(edges)
     hashes = nodes.select("id", F.md5(F.col("id").cast("string")).alias("hv"))
     sketch = _kmv_truncate(
@@ -441,11 +501,39 @@ KCORE_K = 2
 KCORE_MAX_ROUNDS = 32
 
 
+def _driver_kcore(
+    edge_rows: list[tuple[int, int]], k: int, max_rounds: int
+) -> list[tuple[int, bool]]:
+    """Driver peel for dimension-scale graphs (the _driver_pagerank
+    precedent; here the result is a pure SET function of the edge set —
+    integers only, so driver-vs-distributed equality is exact, not
+    quantized).  Identical peeling semantics: symmetric self-loop-free
+    edge set, per round keep nodes with degree ≥ k, stop at fixpoint or
+    ``max_rounds``."""
+    und = {(s, d) for s, d in edge_rows if s != d}
+    und |= {(d, s) for s, d in und}
+    nodes = sorted({s for s, _d in und})
+    alive = und
+    keep = set(nodes)
+    prev_n = None
+    for _ in range(max_rounds):
+        deg: dict[int, int] = {}
+        for s, _d in alive:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        if len(keep) == prev_n:
+            break
+        prev_n = len(keep)
+        alive = {(s, d) for s, d in alive if s in keep and d in keep}
+    return [(n, n in keep) for n in nodes]
+
+
 def kcore_members(
     edges: DataFrame,
     k: int = KCORE_K,
     max_rounds: int = KCORE_MAX_ROUNDS,
     use_local_checkpoint: bool = True,
+    driver_threshold: int = PR_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """edges(src long, dst long), treated as UNDIRECTED → (id long,
     in_core boolean): membership in the k-core (the maximal subgraph
@@ -468,10 +556,23 @@ def kcore_members(
     bit-for-bit.  Lineage is cut per round exactly as in pagerank; use
     reliable ``checkpoint()`` on a cluster.
     """
+    raw = edges.select("src", "dst")
+    if use_local_checkpoint and driver_threshold > 0:
+        # adaptive driver peel (the pagerank r06 shape): materialize
+        # the caller's upstream once, probe the size, and run
+        # dimension-scale graphs as a python loop — exact (integer
+        # set function, no quantization involved)
+        raw = raw.localCheckpoint(eager=True)
+        if raw.limit(driver_threshold + 1).count() <= driver_threshold:
+            rows = _driver_kcore(
+                [(r[0], r[1]) for r in raw.collect()], k, max_rounds
+            )
+            return raw.sparkSession.createDataFrame(
+                rows, "id long, in_core boolean"
+            )
     und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        raw.unionByName(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -508,7 +609,34 @@ def kcore_members(
     ).select("id", F.coalesce("in_core", F.lit(False)).alias("in_core"))
 
 
-def triangle_count(edges: DataFrame, use_local_checkpoint: bool = True) -> DataFrame:
+def _driver_triangles(
+    edge_rows: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Driver twin of the oriented-wedge triangle count for
+    dimension-scale graphs — integers and set functions only, so
+    driver-vs-distributed equality is exact."""
+    und = {(s, d) for s, d in edge_rows if s != d}
+    und |= {(d, s) for s, d in und}
+    nodes = sorted({s for s, _d in und})
+    fwd: dict[int, set[int]] = {}
+    for s, d in und:
+        if s < d:
+            fwd.setdefault(s, set()).add(d)
+    tri: dict[int, int] = {}
+    for a, nbrs in fwd.items():
+        for b in nbrs:
+            for c in nbrs & fwd.get(b, set()):
+                tri[a] = tri.get(a, 0) + 1
+                tri[b] = tri.get(b, 0) + 1
+                tri[c] = tri.get(c, 0) + 1
+    return [(n, tri.get(n, 0)) for n in nodes]
+
+
+def triangle_count(
+    edges: DataFrame,
+    use_local_checkpoint: bool = True,
+    driver_threshold: int = PR_DRIVER_THRESHOLD,
+) -> DataFrame:
     """edges(src long, dst long), treated as UNDIRECTED → (id long,
     triangles long): number of triangles each node participates in.
 
@@ -529,9 +657,18 @@ def triangle_count(edges: DataFrame, use_local_checkpoint: bool = True) -> DataF
     pagerank's per-round checkpoint; use reliable ``checkpoint()`` on
     a cluster.
     """
+    raw = edges.select("src", "dst")
+    if use_local_checkpoint and driver_threshold > 0:
+        raw = raw.localCheckpoint(eager=True)
+        if raw.limit(driver_threshold + 1).count() <= driver_threshold:
+            rows = _driver_triangles([(r[0], r[1]) for r in raw.collect()])
+            return raw.sparkSession.createDataFrame(
+                rows, "id long, triangles long"
+            )
     und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        raw.unionByName(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )

@@ -129,6 +129,28 @@ def test_pagerank_driver_path_matches_distributed(spark):
         assert fast == dist
 
 
+def test_graph_driver_paths_match_distributed(spark):
+    """r06: kcore / khop-KMV / triangles driver twins must equal the
+    distributed loops bit-for-bit (integer/string semantics — exact,
+    no quantization tolerance needed)."""
+    from knowledgeextraction_spark.operators import graph
+
+    edges = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0), (6, 2), (4, 6),
+        (1, 3), (3, 1), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for fn, kwargs in [
+        (graph.kcore_members, {}),
+        (graph.kmv_reach_counts, {"k": 2}),
+        (graph.kmv_reach_counts, {"k": 2, "kmv_k": 3}),  # estimate branch
+        (graph.triangle_count, {}),
+    ]:
+        fast = {tuple(r) for r in fn(df, **kwargs).collect()}
+        dist = {tuple(r) for r in fn(df, driver_threshold=0, **kwargs).collect()}
+        assert fast == dist, (fn.__name__, kwargs)
+
+
 def test_pagerank_invariant_to_partitioning(spark):
     """The per-round 10-dp quantization must make ranks EXACTLY equal
     across partitionings (different groupBy-sum orders), not just
