@@ -175,11 +175,25 @@ def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     original doc columns (representatives only — recovered through a
     skewless join on the unique doc_id); ``members`` is (doc_id,
     rep_id) for re-expanding verdicts at the end."""
-    m = exact_members(docs)
-    rep_ids = (
-        m.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    # reps in ONE map-side-combinable groupBy (r06): min_by keeps the
+    # min-doc_id member's own full row per content hash — the same
+    # rows the former rep_ids-filter + join-back produced, minus two
+    # exchanges.  Still no window (a mega-cluster reduces to one
+    # candidate struct per map task before the shuffle), and
+    # ``members`` keeps the join formulation (its output is one row
+    # per member — a collect_list would rebuild the hot-cluster
+    # single-row hazard).
+    hashed = docs.withColumn("content_hash", F.md5(normalized_text()))
+    reps = (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in docs.columns]), F.col("doc_id")
+            ).alias("rep")
+        )
+        .select("rep.*")
     )
-    reps = docs.join(rep_ids, "doc_id")
+    m = exact_members(docs)
     return reps, m.select("doc_id", "rep_id")
 
 

@@ -564,20 +564,46 @@ def quality_lr_scores(
     training trajectory and the final scores are engine-portable (the
     pagerank quantization contract; the residual 1-ulp grid-boundary
     risk is the same documented one)."""
-    # ONE doc_id shuffle total: fold the (doc_id, bucket, x) feature
-    # stream into per-doc ALIGNED ARRAYS with the label attached.
-    # Row width is bounded by B+1 slots, so the row is bounded at any
-    # corpus size; every subsequent round reads this frame narrowly.
+    # Fold the gram stream into per-doc ALIGNED ARRAYS with the label
+    # attached — row width bounded by B+1 slots at any corpus size;
+    # every subsequent round reads this frame narrowly.  Built in the
+    # minimal shuffle count (r06): bucket counts → per-doc arrays →
+    # labels left-join; the tf normalizer is the exact integer sum of
+    # the doc's own counts (order-free), computed narrowly from the
+    # array instead of a separate groupBy+join, and the bias slot is
+    # appended narrowly instead of a union branch (gramless docs get
+    # the bias-only arrays through the left-join coalesce — same rows
+    # as quality_features' bias union).
+    counts = (
+        hashed_grams(docs, ngram_max)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    # n rides out of the same groupBy as the arrays (an exact integer
+    # sum of the doc's counts — order-free), as a real attribute so
+    # the per-element division below cannot re-inline an aggregate
+    arr = counts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "c")).alias("bx"),
+        F.sum("c").alias("n"),
+    )
     featA = _materialize(
-        quality_features(docs, ngram_max)
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("bucket", "x")).alias("bx"))
-        .join(labels, "doc_id")
+        labels.join(arr, "doc_id", "left")
         .select(
             "doc_id",
             "y",
-            F.col("bx.bucket").alias("buckets"),
-            F.col("bx.x").alias("xs"),
+            F.concat(
+                F.coalesce(
+                    F.col("bx.bucket"), F.array().cast("array<bigint>")
+                ),
+                F.array(F.lit(BIAS_BUCKET).cast("long")),
+            ).alias("buckets"),
+            F.concat(
+                F.coalesce(
+                    F.transform(F.col("bx"), lambda s: s["c"] / F.col("n")),
+                    F.array().cast("array<double>"),
+                ),
+                F.array(F.lit(1.0)),
+            ).alias("xs"),
         ),
         use_local_checkpoint,
     )
