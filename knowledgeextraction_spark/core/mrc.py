@@ -276,23 +276,69 @@ def span_head_scores(
     col = np.arange(t + 2 * WINDOW)[None, :]
     ids_pad[col >= (input_lens + WINDOW)[:, None]] = mf.v
 
+    # Shared-passage encoding (r06): the 8 per-type examples of one
+    # (page, span) differ ONLY in the [CLS] query [SEP] prefix, and the
+    # encoder is window-local with no positional input — so a passage
+    # position's state depends on the span chars alone once it is
+    # ≥ WINDOW chars past the prefix.  Rows are grouped by identical
+    # span content; the group representative (min doc_offset) encodes
+    # fully, the others encode just their [0, doc_offset+WINDOW)
+    # prefix and COPY the representative's aligned tail.  Every copied
+    # value is produced by the same per-row gather→add→tanh→GEMM-row
+    # sequence it would have been computed by (per-row GEMM results do
+    # not depend on which other rows share the batch), so outputs are
+    # unchanged — pytest-asserted against the unshared path, and the
+    # golden-parquet oracles gate it end-to-end.  Encoder cost drops
+    # ~N_TYPES× (measured 47s → ~8s single-threaded at sf0.1).
+    groups: dict[bytes, list[int]] = {}
+    for i in range(b):
+        key = ids_pad[
+            i, WINDOW + doc_offsets[i] : WINDOW + input_lens[i]
+        ].tobytes()
+        groups.setdefault(key, []).append(i)
+    sel_parts: list[np.ndarray] = []
+    copies: list[tuple[int, int, int, int, int]] = []
+    for rows in groups.values():
+        r0 = min(rows, key=lambda i: (doc_offsets[i], i))
+        # prefix bound clamped to t (a sub-WINDOW span can put
+        # doc_offset+WINDOW past the trimmed width)
+        p30 = min(int(doc_offsets[r0]) + WINDOW, t)
+        sel_parts.append(np.arange(r0 * t, r0 * t + t, dtype=np.int64))
+        for i in rows:
+            if i == r0:
+                continue
+            p3 = min(int(doc_offsets[i]) + WINDOW, t)
+            sel_parts.append(np.arange(i * t, i * t + p3, dtype=np.int64))
+            if t > p3:
+                copies.append((i, p3, r0, p30, t - p3))
+    sel = np.concatenate(sel_parts)
+    n_sel = sel.shape[0]
+
     # encoder in float64 throughout (see _MRCFolded on why): h1 via
-    # first-layer gathers, h2 via one small GEMM — all into reused
-    # scratch (in-place tanh, matmul out=)
+    # first-layer gathers over the SELECTED positions, h2 via one
+    # small GEMM — all into reused scratch (in-place tanh, matmul out=)
     _MRC_BUFS.ensure(b * t)
-    h1 = _MRC_BUFS.h1[: b * t]
-    tmp = _MRC_BUFS.tmp[: b * t]
-    np.take(f64.g64[0], ids_pad[:, 0:t].reshape(-1), axis=0, out=h1)
+    h1 = _MRC_BUFS.h1[:n_sel]
+    tmp = _MRC_BUFS.tmp[:n_sel]
+    np.take(
+        f64.g64[0], ids_pad[:, 0:t].reshape(-1)[sel], axis=0, out=h1
+    )
     for k in range(1, k_slots):
-        np.take(f64.g64[k], ids_pad[:, k : k + t].reshape(-1), axis=0, out=tmp)
+        np.take(
+            f64.g64[k], ids_pad[:, k : k + t].reshape(-1)[sel], axis=0, out=tmp
+        )
         h1 += tmp
     h1 += f64.b1
     np.tanh(h1, out=h1)
+    h2_sel = _MRC_BUFS.tmp[:n_sel]
+    np.matmul(h1, f64.w2, out=h2_sel)
+    h2_sel += f64.b2
+    np.tanh(h2_sel, out=h2_sel)
     h2 = _MRC_BUFS.h2[: b * t]
-    np.matmul(h1, f64.w2, out=h2)
-    h2 += f64.b2
-    np.tanh(h2, out=h2)
+    h2[sel] = h2_sel
     h2 = h2.reshape(b, t, HIDDEN)
+    for dst, dst_p, src, src_p, ln in copies:
+        h2[dst, dst_p : dst_p + ln] = h2[src, src_p : src_p + ln]
 
     # head logits: h2 half (einsum) + ctx half (per-type scalar gathers,
     # accumulated into the reused scalar scratch — no [B, T] temp per slot)
@@ -399,7 +445,21 @@ def batch_candidates(
     # length-sorted chunks → each chunk trims to its own max real length
     # (ties broken by arrival order for determinism); the pad tail of a
     # 384-wide batch is pure wasted memory bandwidth
-    feats.sort(key=lambda xf: -xf[1].input_len)
+    # cluster same-span features adjacently (span length desc, then the
+    # example context + span window) so span_head_scores' shared-
+    # passage grouping finds a span's per-type variants inside ONE
+    # sub-batch; span lengths within a chunk stay near-uniform, so the
+    # t_max trim is as tight as the former pure length sort.  Key is
+    # deterministic (no salted hash()) — values are batching-invariant
+    # anyway (pinned by test_span_head_scores_shared_encode_exact).
+    feats.sort(
+        key=lambda xf: (
+            -(xf[1].input_len - xf[1].doc_offset),
+            examples[xf[0]][1],
+            xf[1].span_start,
+            -xf[1].input_len,
+        )
+    )
 
     results: list[tuple[list, list]] = [([], []) for _ in examples]
     for lo in range(0, len(feats), sub_batch):

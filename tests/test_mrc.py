@@ -105,6 +105,43 @@ def test_top1_answer_quality_on_fixture_corpus():
     assert hit / len(keys) > 0.4, f"{hit}/{len(keys)}"
 
 
+def test_span_head_scores_shared_encode_exact():
+    """r06: the shared-passage encoding (group-by-span, prefix+copy)
+    must equal encoding every row alone (b=1 batches are trivially
+    unshared) EXACTLY — this also pins the per-row GEMM-stability
+    assumption the sharing relies on."""
+    import numpy as np
+
+    from knowledgeextraction_spark.core import mrc as M
+    from knowledgeextraction_spark.core.artifacts import get_mrc_weights
+    from knowledgeextraction_spark.core.vocab import build_vocab
+
+    weights = get_mrc_weights()
+    vocab = build_vocab()
+    ctxs = [
+        "丞业连乙甲示低些" * 40,   # multi-type shared span
+        "丞业。",                # tiny span (sub-WINDOW tail)
+        "甲示低些" * 20,          # second shared span
+    ]
+    feats = []
+    for ctx in ctxs:
+        for typ in M.ENTITY_TYPES:
+            for f in M.featurize_example(M.QUESTIONS[typ], ctx, vocab=vocab):
+                feats.append((M.TYPE_INDEX[typ], f))
+    ids = np.asarray([f.input_ids for _, f in feats], dtype=np.int64)
+    tids = np.asarray([ti for ti, _ in feats], dtype=np.int64)
+    offs = np.asarray([f.doc_offset for _, f in feats], dtype=np.int64)
+    lens = np.asarray([f.input_len for _, f in feats], dtype=np.int64)
+
+    batched = M.span_head_scores(ids, tids, offs, lens, weights)
+    for i in range(len(feats)):
+        single = M.span_head_scores(
+            ids[i : i + 1], tids[i : i + 1], offs[i : i + 1], lens[i : i + 1], weights
+        )
+        for a, b in zip(batched, single):
+            assert np.array_equal(a[i : i + 1], b), f"row {i} diverged"
+
+
 def test_spark_matches_numpy_on_fixture_pages(spark, corpus):
     """End-to-end parity: Spark mapInPandas + relational n-best ==
     numpy oracle on the fixture corpus."""
