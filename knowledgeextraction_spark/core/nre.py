@@ -148,13 +148,51 @@ def record_pair_features(
         np.tanh(h2_rec, out=h2_rec)
 
     # ---- per-pair marker windows (2 positions each) ----
+    # encode_pair semantics inlined over the ALREADY-tokenized record
+    # (r06): the per-pair call re-tokenized all five text segments
+    # through a python dict per char — 61% of the kernel (measured,
+    # cProfile); here the marked sequence is slice-copies of rec_ids
+    # into a reused buffer plus four marker writes.  Identical ids,
+    # marker positions, truncation and window padding — pytest-asserted
+    # against an encode_pair-based reference
+    # (tests/test_nre_relations.py::test_record_pair_marker_windows_match_encode_pair).
     win_ids = np.full((2 * p_n, k_slots), f.v, dtype=np.int64)
+    max_length = 128
+    m_ids = [_marker_id(j, vocab) for j in range(4)]
+    seq_len = L + 6  # [CLS] + chars + 4 markers + [SEP]
+    avai = min(seq_len, max_length)
+    buf = np.empty(seq_len, dtype=np.int64)
+    pbuf = np.full(avai + 2 * WINDOW, f.v, dtype=np.int64)
     for i, (hs, he, ts, te) in enumerate(pairs):
-        ids, mask, ph, pt = encode_pair(text, (hs, he), (ts, te), 128, vocab)
-        avai = sum(mask)
-        padded = [f.v] * WINDOW + list(ids[:avai]) + [f.v] * WINDOW
-        win_ids[2 * i] = padded[ph : ph + k_slots]
-        win_ids[2 * i + 1] = padded[pt : pt + k_slots]
+        if hs > ts:
+            (a0, a1), (b0, b1), rev = (ts, te), (hs, he), True
+        else:
+            (a0, a1), (b0, b1), rev = (hs, he), (ts, te), False
+        if rev:
+            o0, c0, o1, c1 = m_ids[2], m_ids[3], m_ids[0], m_ids[1]
+        else:
+            o0, c0, o1, c1 = m_ids[0], m_ids[1], m_ids[2], m_ids[3]
+        buf[0] = CLS_ID
+        buf[1 : 1 + a0] = rec_ids[:a0]
+        p = 1 + a0
+        buf[p] = o0
+        buf[p + 1 : p + 1 + (a1 - a0)] = rec_ids[a0:a1]
+        q = p + 1 + (a1 - a0)
+        buf[q] = c0
+        buf[q + 1 : q + 1 + (b0 - a1)] = rec_ids[a1:b0]
+        r = q + 1 + (b0 - a1)
+        buf[r] = o1
+        buf[r + 1 : r + 1 + (b1 - b0)] = rec_ids[b0:b1]
+        s = r + 1 + (b1 - b0)
+        buf[s] = c1
+        buf[s + 1 : s + 1 + (L - b1)] = rec_ids[b1:]
+        buf[seq_len - 1] = SEP_ID
+        ph, pt = (r, p) if rev else (p, r)
+        ph = min(max_length - 1, ph)
+        pt = min(max_length - 1, pt)
+        pbuf[WINDOW : WINDOW + avai] = buf[:avai]
+        win_ids[2 * i] = pbuf[ph : ph + k_slots]
+        win_ids[2 * i + 1] = pbuf[pt : pt + k_slots]
 
     h1_m = np.zeros((2 * p_n, HIDDEN), dtype=np.float64)
     for k in range(k_slots):
@@ -222,11 +260,31 @@ def _classify_tables():
     from ..core.artifacts import nre_relation_labels
     from ..sources.pages import doc_rules
 
+    import numpy as np
+
+    from ..core.labels import ENTITY_TYPES
+
     conn_patterns = sorted({r.pattern for r in doc_rules()})
     conn_idx = {p: i for i, p in enumerate(conn_patterns)}
     rule_by_pair = {(r.subj_label, r.obj_label): r for r in doc_rules()}
     lab_idx = {p: i for i, p in enumerate(nre_relation_labels())}
-    return conn_idx, rule_by_pair, lab_idx
+    # dense (t1, t2) → connective / predicate matrices for the
+    # vectorized classify_pairs (r06)
+    pair_conn = np.array(
+        [
+            [conn_idx[rule_by_pair[(a, c)].pattern] for c in ENTITY_TYPES]
+            for a in ENTITY_TYPES
+        ],
+        dtype=np.int64,
+    )
+    pair_pred = np.array(
+        [
+            [lab_idx[rule_by_pair[(a, c)].predicate] for c in ENTITY_TYPES]
+            for a in ENTITY_TYPES
+        ],
+        dtype=np.int64,
+    )
+    return conn_idx, rule_by_pair, lab_idx, pair_conn, pair_pred
 
 
 def classify_pairs(feats, weights):
@@ -253,7 +311,7 @@ def classify_pairs(feats, weights):
     from .labels import ENTITY_TYPES
     from .model import HEAD_DIM
 
-    conn_idx, rule_by_pair, lab_idx = _classify_tables()
+    conn_idx, rule_by_pair, lab_idx, pair_conn, pair_pred = _classify_tables()
 
     b = len(feats)
     ones = np.ones((b, 1))
@@ -268,20 +326,15 @@ def classify_pairs(feats, weights):
     t2 = np.round(t_feat @ weights["nre_type_w"], 9).argmax(axis=1)
     conn_scores = np.round(pool @ weights["nre_conn_w"], 9)  # [B, 6]
 
-    pred = np.zeros(b, dtype=np.int64)
-    prob = np.zeros(b, dtype=np.float64)
-    for i in range(b):
-        a, c = ENTITY_TYPES[t1[i]], ENTITY_TYPES[t2[i]]
-        rule = rule_by_pair[(a, c)]
-        s = conn_scores[i, conn_idx[rule.pattern]]
-        # detector targets are 0/10; clip the exponent so a strongly
-        # negative margin can't overflow np.exp (the clipped result is
-        # bit-identical for |5 - s| < 60 and still rounds to 0/1 beyond)
-        p_rel = 1.0 / (1.0 + np.exp(min(max(5.0 - s, -60.0), 60.0)))
-        if p_rel >= 0.5:
-            pred[i] = lab_idx[rule.predicate]
-            prob[i] = p_rel
-        else:
-            pred[i] = lab_idx["NA"]
-            prob[i] = 1.0 - p_rel
+    # vectorized over the batch (r06) — elementwise np.clip/np.exp and
+    # the divisions are the same ufunc operations the former per-pair
+    # scalar loop applied, so results are bit-identical.  Detector
+    # targets are 0/10; the exponent clip keeps a strongly negative
+    # margin from overflowing np.exp (bit-identical for |5 - s| < 60
+    # and still rounding to 0/1 beyond).
+    s = conn_scores[np.arange(b), pair_conn[t1, t2]]
+    p_rel = 1.0 / (1.0 + np.exp(np.clip(5.0 - s, -60.0, 60.0)))
+    rel = p_rel >= 0.5
+    pred = np.where(rel, pair_pred[t1, t2], lab_idx["NA"])
+    prob = np.where(rel, p_rel, 1.0 - p_rel)
     return pred, prob

@@ -92,6 +92,61 @@ def test_record_pair_features_solo_vs_grouped():
     assert p1[0] == p2[0] and round(s1[0], 6) == round(s2[0], 6)
 
 
+def test_record_pair_marker_windows_match_encode_pair():
+    """r06: the slice-copy marked-sequence construction inside
+    record_pair_features must reproduce encode_pair's ids, positions,
+    truncation and window padding exactly — checked through the final
+    feature matrix against a reference built the old way."""
+    import random
+
+    from knowledgeextraction_spark.core.model import WINDOW, folded64
+    from knowledgeextraction_spark.core.nre import encode_pair
+
+    weights = get_nre_weights()
+    vocab = build_vocab()
+    f = folded64(weights)
+    k_slots = 2 * WINDOW + 1
+    rng = random.Random(11)
+    # include a long record (truncation at max_length=128 bites) and a
+    # short one, reversed pairs, adjacent entities, edge positions
+    for L in (380, 40, 9):
+        text = ("丞业连乙甲示低些" * 48)[:L]
+        pairs = []
+        for _ in range(60):
+            a = rng.randrange(0, max(L - 4, 1))
+            b = min(a + rng.randrange(1, 3), L)
+            c = rng.randrange(0, max(L - 2, 1))
+            d = min(c + rng.randrange(1, 3), L)
+            if b <= c or d <= a:  # non-overlapping either order
+                if a != c:
+                    pairs.append((a, b, c, d))
+        pairs.append((0, 1, L - 1, L))  # extreme edges
+        got = record_pair_features(text, pairs, weights, vocab)
+
+        # reference marker features via encode_pair (the pre-r06 path)
+        win_ids = np.full((2 * len(pairs), k_slots), f.v, dtype=np.int64)
+        for i, (hs, he, ts, te) in enumerate(pairs):
+            ids, mask, ph, pt = encode_pair(text, (hs, he), (ts, te), 128, vocab)
+            avai = sum(mask)
+            padded = [f.v] * WINDOW + list(ids[:avai]) + [f.v] * WINDOW
+            win_ids[2 * i] = padded[ph : ph + k_slots]
+            win_ids[2 * i + 1] = padded[pt : pt + k_slots]
+        h1_m = np.zeros((2 * len(pairs), 256), dtype=np.float64)
+        for k in range(k_slots):
+            h1_m += f.g64[k][win_ids[:, k]]
+        h1_m += f.b1
+        np.tanh(h1_m, out=h1_m)
+        h2_m = np.tanh(h1_m @ f.w2 + f.b2)
+        ctx_m = np.concatenate(
+            [f.emb64[win_ids[:, k]] for k in range(k_slots)], axis=1
+        )
+        marker = np.concatenate([h2_m, ctx_m], axis=1)
+        assert np.array_equal(got[:, : marker.shape[1]], marker[0::2]), L
+        assert np.array_equal(
+            got[:, marker.shape[1] : 2 * marker.shape[1]], marker[1::2]
+        ), L
+
+
 def test_classify_relations_spark_matches_numpy(spark):
     from knowledgeextraction_spark.broadcast import nre_weights_broadcast
     from knowledgeextraction_spark.operators.nre import classify_relations
