@@ -548,20 +548,24 @@ def embedding_near_dups_lsh(
     # into one task (see exact_members).  Star edges (rep → member,
     # cosine 1 by definition) re-expand the verdict linearly.
     e = embeddings.select("vec_id", "embedding")
-    rep_map = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    # m feeds reps + star, and reps feeds the keying UDF plus BOTH
-    # cosine sides — materialize each once (the triangle_count lesson:
-    # un-cut, every reference re-runs the rep-map join, and the
-    # hyperplane GEMM would run again per cosine side)
-    m = _materialize(e.join(rep_map, "embedding"), use_local_checkpoint)
-    reps = _materialize(
-        m.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id", "embedding"),
+    # the rep map IS the reps table (min vec_id + its group-key
+    # embedding — identical rows to the former join-back + filter,
+    # r06): one map-side-combinable groupBy, materialized once because
+    # it feeds the keying UDF, BOTH cosine sides, and the star join
+    # (the triangle_count lesson)
+    rep_map = _materialize(
+        e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id")),
         use_local_checkpoint,
     )
-    star = m.filter(F.col("vec_id") != F.col("rep_id")).select(
-        F.col("rep_id").alias("vec_a"),
-        F.col("vec_id").alias("vec_b"),
-        F.lit(1.0).alias("cosine"),
+    reps = rep_map.select(F.col("rep_id").alias("vec_id"), "embedding")
+    star = (
+        e.join(rep_map, "embedding")
+        .filter(F.col("vec_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(1.0).alias("cosine"),
+        )
     )
 
     planes = make_planes(dim, n_bands * bits_per_band, seed)

@@ -366,18 +366,41 @@ def bigram_lm_nll(
     train stream); a w1 unseen in train scores ln(a/(a·V)) = -ln V.
     Docs with <2 words emit no row (no bigrams — the shingle-stage
     contract)."""
-    bc = _materialize(
-        _bigram_occurrences(train)
-        .groupBy("w1", "w2")
-        .agg(F.count("*").cast("long").alias("bc")),
-        use_local_checkpoint,
-    )
+    if score is train:
+        # self-scoring (the registered query's shape): the bigram
+        # stream is exploded ONCE into the per-doc count table, and the
+        # train model's bigram counts re-aggregate FROM it (integer
+        # sums — identical values to counting the raw stream); the
+        # former shape scanned + exploded the corpus twice (r06, the
+        # dsir importance_weights consumed-once pattern)
+        doc_counts = _materialize(
+            _bigram_occurrences(score)
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").cast("long").alias("c")),
+            use_local_checkpoint,
+        )
+        bc = _materialize(
+            doc_counts.groupBy("w1", "w2").agg(
+                F.sum("c").cast("long").alias("bc")
+            ),
+            use_local_checkpoint,
+        )
+    else:
+        doc_counts = (
+            _bigram_occurrences(score)
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        bc = _materialize(
+            _bigram_occurrences(train)
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("bc")),
+            use_local_checkpoint,
+        )
     uc = bc.groupBy("w1").agg(F.sum("bc").cast("long").alias("uc"))
     vocab = bc.agg(F.countDistinct("w2").cast("long").alias("v"))
     per_pair = (
-        _bigram_occurrences(score)
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").cast("long").alias("c"))
+        doc_counts
         .join(bc, ["w1", "w2"], "left")
         .join(uc, "w1", "left")
         .crossJoin(F.broadcast(vocab))
