@@ -627,7 +627,15 @@ def quality_lr_scores(
                 ),
                 F.array(F.lit(1.0)),
             ).alias("xs"),
-        ),
+        )
+        # data-proportional partitioning for the 12 round jobs: the
+        # label-side broadcast join would otherwise pin featA to the
+        # SOURCE scan's partition count (32 near-empty tasks + 32
+        # partial vectors per round at test scale); an explicit
+        # exchange lets AQE coalesce to the advisory size — few
+        # partitions on small inputs, many at scale (measured: ~1.3 s
+        # across the 12 rounds at sf0.1)
+        .repartition("doc_id"),
         use_local_checkpoint,
     )
     # labels cover every doc and every doc carries the bias feature,
