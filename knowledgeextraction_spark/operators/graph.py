@@ -556,6 +556,13 @@ def kcore_members(
     bit-for-bit.  Lineage is cut per round exactly as in pagerank; use
     reliable ``checkpoint()`` on a cluster.
     """
+    # r5 ADVICE: max_rounds=0 would skip the peel and return every
+    # edge-touching node with in_core=True — silently wrong; fail loud
+    # (the pagerank checkpoint_every validation pattern)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     raw = edges.select("src", "dst")
     if use_local_checkpoint and driver_threshold > 0:
         # adaptive driver peel (the pagerank r06 shape): materialize

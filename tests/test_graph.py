@@ -129,6 +129,20 @@ def test_pagerank_driver_path_matches_distributed(spark):
         assert fast == dist
 
 
+def test_kcore_validates_parameters(spark):
+    """r5 ADVICE: k/max_rounds below 1 must raise, not silently return
+    everything in-core."""
+    import pytest
+
+    from knowledgeextraction_spark.operators import graph
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        graph.kcore_members(df, k=0)
+    with pytest.raises(ValueError):
+        graph.kcore_members(df, max_rounds=0)
+
+
 def test_graph_driver_paths_match_distributed(spark):
     """r06: kcore / khop-KMV / triangles driver twins must equal the
     distributed loops bit-for-bit (integer/string semantics — exact,
