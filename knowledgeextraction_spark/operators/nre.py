@@ -203,6 +203,101 @@ def classify_relations(pairs: DataFrame, weights_bc) -> DataFrame:
     return pairs.mapInPandas(run, RELATION_SCHEMA)
 
 
+def classify_relations_fused(records_mentions: DataFrame, weights_bc) -> DataFrame:
+    """``classify_relations`` ∘ ``mention_pairs`` WITHOUT the explode
+    (r06): the in-array pairing stays narrow and each record crosses
+    the Arrow boundary ONCE with its pair list, where the exploded
+    shape shipped the full record text per pair (~150× serialization
+    amplification at the fixture's pair density) and re-grouped rows
+    pandas-side.  Output rows and values are identical — the same
+    pairing expression builds the pair list in the same order, and the
+    kernel feeds record_pair_features/classify_pairs the same
+    (text, pairs) inputs; parity is pytest-asserted
+    (tests/test_nre_relations.py::test_classify_relations_fused_matches_exploded).
+    """
+    import pyspark.sql.functions as F
+
+    from .triples import _DELIM_RE
+
+    def _pair_ok(p):
+        between = F.col("text").substr(
+            p["m1"]["end_pos"] + 1, p["m2"]["start_pos"] - p["m1"]["end_pos"]
+        )
+        return (p["m1"]["start_pos"] < p["m2"]["start_pos"]) & ~between.rlike(
+            _DELIM_RE
+        )
+
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("mentions"),
+                lambda m1: F.transform(
+                    F.col("mentions"),
+                    lambda m2: F.struct(m1.alias("m1"), m2.alias("m2")),
+                ),
+            )
+        ),
+        _pair_ok,
+    )
+    prs_expr = F.transform(
+        pair_expr,
+        lambda p: F.struct(
+            p["m1"]["start_pos"].alias("h_start"),
+            p["m1"]["end_pos"].alias("h_end"),
+            p["m2"]["start_pos"].alias("t_start"),
+            p["m2"]["end_pos"].alias("t_end"),
+        ),
+    )
+    recs = records_mentions.select(
+        "url", "rec_id", "text", prs_expr.alias("prs")
+    ).filter(F.size("prs") > 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.artifacts import nre_relation_labels
+        from ..core.nre import classify_pairs, record_pair_features
+        from ..core.vocab import build_vocab
+
+        weights = weights_bc.value
+        labels = nre_relation_labels()
+        vocab = build_vocab()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_url, out_rec, out_pid, out_pred, out_score = [], [], [], [], []
+            for url, rec_id, text, prs in zip(
+                pdf["url"], pdf["rec_id"], pdf["text"], pdf["prs"]
+            ):
+                tuples = [
+                    (
+                        int(p["h_start"]),
+                        int(p["h_end"]),
+                        int(p["t_start"]),
+                        int(p["t_end"]),
+                    )
+                    for p in prs
+                ]
+                feats = record_pair_features(text, tuples, weights, vocab)
+                pred, prob = classify_pairs(feats, weights)
+                out_url += [url] * len(tuples)
+                out_rec += [rec_id] * len(tuples)
+                out_pid += [
+                    hs * PAIR_ID_BASE + ts for hs, _he, ts, _te in tuples
+                ]
+                out_pred += [labels[i] for i in pred]
+                out_score += list(prob)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(out_url, dtype=object),
+                    "rec_id": pd.Series(out_rec, dtype="int32"),
+                    "pair_id": pd.Series(out_pid, dtype="int64"),
+                    "predicate": pd.Series(out_pred, dtype=object),
+                    "score": pd.Series(out_score, dtype="float64"),
+                }
+            )
+
+    return recs.mapInPandas(run, RELATION_SCHEMA)
+
+
 def bag_relations(scored: DataFrame, linked: DataFrame) -> DataFrame:
     """Bag-level (multi-instance) relation aggregation — the engine
     analog of the reference's ``PCNNAttnNREModel`` wrapping

@@ -324,14 +324,13 @@ def q_kg_relations_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin.  Oracle: golden parquet from the numpy twin."""
     from .broadcast import nre_weights_broadcast, weights_broadcast
     from .operators.detect import detect_records_from_pages
-    from .operators.nre import classify_relations, mention_pairs
+    from .operators.nre import classify_relations_fused
 
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
     rm = detect_records_from_pages(zh.repartition(par), weights_broadcast(spark))
-    pairs = mention_pairs(rm)
     return (
-        classify_relations(pairs, nre_weights_broadcast(spark))
+        classify_relations_fused(rm, nre_weights_broadcast(spark))
         .withColumn("score", F.round("score", 6))
         .orderBy("url", "rec_id", "pair_id")
     )
@@ -356,7 +355,7 @@ def q_kg_relations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .broadcast import nre_weights_broadcast
     from .operators.detect import detect_records_from_pages
     from .operators.link import link_mentions
-    from .operators.nre import bag_relations, classify_relations, mention_pairs
+    from .operators.nre import bag_relations, classify_relations_fused
 
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
@@ -368,8 +367,8 @@ def q_kg_relations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     rm = detect_records_from_pages(
         zh.repartition(par), weights_broadcast(spark)
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    scored = classify_relations(
-        mention_pairs(rm), nre_weights_broadcast(spark)
+    scored = classify_relations_fused(
+        rm, nre_weights_broadcast(spark)
     ).withColumn("score", F.round("score", 6))
     mentions = rm.select("url", "rec_id", F.explode("mentions").alias("m")).select(
         "url",

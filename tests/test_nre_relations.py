@@ -177,6 +177,40 @@ def test_classify_relations_spark_matches_numpy(spark):
     assert got == want and len(got) == len(rows)
 
 
+def test_classify_relations_fused_matches_exploded(spark, corpus):
+    """r06: classify_relations_fused over the fused detect output must
+    equal classify_relations ∘ mention_pairs row for row."""
+    from knowledgeextraction_spark.broadcast import (
+        nre_weights_broadcast,
+        weights_broadcast,
+    )
+    from knowledgeextraction_spark.operators.detect import (
+        detect_records_from_pages,
+    )
+    from knowledgeextraction_spark.operators.nre import (
+        classify_relations,
+        classify_relations_fused,
+        mention_pairs,
+    )
+    from knowledgeextraction_spark.sources.pages import fixture_pages
+
+    pages = fixture_pages(spark, corpus).select("url", "html")
+    rm = detect_records_from_pages(pages, weights_broadcast(spark)).cache()
+    a = {
+        tuple(r)
+        for r in classify_relations(
+            mention_pairs(rm), nre_weights_broadcast(spark)
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in classify_relations_fused(
+            rm, nre_weights_broadcast(spark)
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_classify_pairs_extreme_margin_no_overflow():
     """A strongly negative detector margin must not overflow np.exp
     (executor-log RuntimeWarning noise at scale); the clipped sigmoid
