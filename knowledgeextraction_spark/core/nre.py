@@ -194,6 +194,14 @@ def record_pair_features(
         win_ids[2 * i] = pbuf[ph : ph + k_slots]
         win_ids[2 * i + 1] = pbuf[pt : pt + k_slots]
 
+    # NOTE (r06, measured negative result): deduplicating the marker
+    # windows before the GEMM (np.unique + gather-back) is NOT
+    # value-safe here — at this per-record m (~100-300 rows) OpenBLAS
+    # dgemm takes small-matrix kernels whose per-row results vary with
+    # m by ~1e-15, enough to flip the 1e-9-grid quantization
+    # occasionally (the MRC shared-passage encode is safe because its
+    # GEMMs stay in the large-m blocked regime, where the pinned
+    # exactness test holds).  The windows are computed per row.
     h1_m = np.zeros((2 * p_n, HIDDEN), dtype=np.float64)
     for k in range(k_slots):
         h1_m += f.g64[k][win_ids[:, k]]
@@ -209,14 +217,22 @@ def record_pair_features(
     # window [h_start, t_end): both entities + the between-text.  The
     # connective chars live in the between-text; entity chars draw from
     # disjoint per-type pools, so including them adds context without
-    # aliasing the connective detectors.
+    # aliasing the connective detectors.  Identical (hs, te) ranges
+    # share one mean/max computation (same slice → same values).
     mid_mean = np.zeros((p_n, HIDDEN), dtype=np.float64)
     mid_max = np.zeros((p_n, HIDDEN), dtype=np.float64)
+    seen_rng: dict[tuple[int, int], int] = {}
     for i, (hs, he, ts, te) in enumerate(pairs):
         if te > hs:
-            seg = h2_rec[hs:te]
-            mid_mean[i] = seg.mean(axis=0)
-            mid_max[i] = seg.max(axis=0)
+            j = seen_rng.get((hs, te))
+            if j is None:
+                seg = h2_rec[hs:te]
+                mid_mean[i] = seg.mean(axis=0)
+                mid_max[i] = seg.max(axis=0)
+                seen_rng[(hs, te)] = i
+            else:
+                mid_mean[i] = mid_mean[j]
+                mid_max[i] = mid_max[j]
 
     return np.concatenate(
         [marker[0::2], marker[1::2], mid_mean, mid_max], axis=1
