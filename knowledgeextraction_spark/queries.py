@@ -31,6 +31,23 @@ from .sources import pages as pages_src
 # ---------------------------------------------------------------------------
 
 
+def _ck_sort(df: DataFrame, *cols) -> DataFrame:
+    """Declared-output sort over a materialized child (r06, guide
+    §3.3/§7.2): ``orderBy`` compiles to an Exchange rangepartitioning
+    whose range boundaries come from a SAMPLING job over the child —
+    the child plan executes twice, and Spark's stage reuse only
+    absorbs the part before the child's last shuffle, so everything
+    downstream of it (here: the expensive Arrow kernels and narrow
+    assembly tails) is paid twice.  A lazy ``localCheckpoint`` makes
+    the sample pass compute-and-persist the rows once and the shuffle
+    pass re-read them (measured: kg_relations_scored 5.09→2.11 s at
+    sf0.1).  Rows, values and output order are untouched — only the
+    physical plan changes; at 100 TB the materialization is the final
+    query OUTPUT (not an inflated intermediate), the same rows the
+    range exchange itself must buffer."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sf≤0.1 documents table is one small parquet file → a 1-partition
     # scan, which serializes every narrow stage (shingling, hashing,
@@ -194,7 +211,7 @@ def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eq = pages_src.equivalences_df(spark, pages_src.doc_equivalences())
     dic = surface_dictionary(pages_src.entities_df(spark))
-    return surface_components(eq, dic).orderBy("surface")
+    return _ck_sort(surface_components(eq, dic), "surface")
 
 
 def sql_kg_components() -> str:
@@ -305,6 +322,11 @@ def q_mrc_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("lang") == "zh") & (F.length("text") > 0))
         .select("url", "text")
         .repartition(spark.sparkContext.defaultParallelism)
+        # materialized once (r06): the examples frame built from this
+        # is consumed by THREE branches of the assembly (the candidate
+        # kernel input, the answer-text join, and the final left join)
+        # — without it the page render+extract chain executes 3×
+        .localCheckpoint(eager=True)
     )
     return mrc_answers(zh, mrc_weights_broadcast(spark)).select(
         "url",
@@ -329,10 +351,13 @@ def q_kg_relations_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     zh = _pages(spark, sf_dir).filter(F.col("lang") == "zh").select("url", "html")
     rm = detect_records_from_pages(zh.repartition(par), weights_broadcast(spark))
-    return (
-        classify_relations_fused(rm, nre_weights_broadcast(spark))
-        .withColumn("score", F.round("score", 6))
-        .orderBy("url", "rec_id", "pair_id")
+    return _ck_sort(
+        classify_relations_fused(rm, nre_weights_broadcast(spark)).withColumn(
+            "score", F.round("score", 6)
+        ),
+        "url",
+        "rec_id",
+        "pair_id",
     )
 
 
@@ -378,11 +403,13 @@ def q_kg_relations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.surface").alias("surface"),
     )
     linked = link_mentions(mentions, pages_src.entities_df(spark))
-    return (
+    return _ck_sort(
         bag_relations(scored, linked)
         .withColumn("bag_score", F.round("bag_score", 6))
-        .withColumn("max_score", F.round("max_score", 6))
-        .orderBy("subj_id", "obj_id", "predicate")
+        .withColumn("max_score", F.round("max_score", 6)),
+        "subj_id",
+        "obj_id",
+        "predicate",
     )
 
 
@@ -1212,8 +1239,9 @@ FROM flat ORDER BY qas_id
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_docs_with_replicas(spark, sf_dir)).orderBy(
-        "content_hash"
+    return _ck_sort(
+        dedup.exact_duplicates(_docs_with_replicas(spark, sf_dir)),
+        "content_hash",
     )
 
 
@@ -1242,9 +1270,13 @@ SELECT doc_id, shingle FROM (
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir)).withColumn(
-        "band", F.col("band").cast("long")
-    ).orderBy("doc_id", "band")
+    return _ck_sort(
+        dedup.minhash_signatures(_docs(spark, sf_dir)).withColumn(
+            "band", F.col("band").cast("long")
+        ),
+        "doc_id",
+        "band",
+    )
 
 
 def sql_dedup_minhash() -> str:
@@ -1291,7 +1323,7 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join is linear in cluster size; the ``max_bucket`` cap
     guards the remaining near-dup mega-buckets (r3 verdict item 1)."""
     reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
-    return dedup.lsh_candidate_pairs(reps).orderBy("doc_a", "doc_b")
+    return _ck_sort(dedup.lsh_candidate_pairs(reps), "doc_a", "doc_b")
 
 
 def sql_dedup_lsh_pairs() -> str:
@@ -1317,10 +1349,12 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_lsh_pairs, so the histogram instruments exactly the join the
     cap guards."""
     reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
-    return (
-        dedup.lsh_bucket_stats(reps)
-        .withColumn("band", F.col("band").cast("long"))
-        .orderBy("band", "bucket_size")
+    return _ck_sort(
+        dedup.lsh_bucket_stats(reps).withColumn(
+            "band", F.col("band").cast("long")
+        ),
+        "band",
+        "bucket_size",
     )
 
 
@@ -1353,10 +1387,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = dedup.shingle_table(reps).persist(StorageLevel.MEMORY_AND_DISK)
     cands = dedup.lsh_candidate_pairs(reps, shingles=sh)
-    return (
+    return _ck_sort(
         dedup.ngram_jaccard_pairs(reps, cands, threshold=0.5, shingles=sh)
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("doc_a", "doc_b")
+        .withColumn("jaccard", F.round("jaccard", 6)),
+        "doc_a",
+        "doc_b",
     )
 
 
@@ -1411,10 +1446,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) != 0)
     bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) == 0)
-    return (
-        dedup.contamination_scores(corpus, bench)
-        .withColumn("contamination", F.round("contamination", 6))
-        .orderBy("doc_id")
+    return _ck_sort(
+        dedup.contamination_scores(corpus, bench).withColumn(
+            "contamination", F.round("contamination", 6)
+        ),
+        "doc_id",
     )
 
 
@@ -1457,7 +1493,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) != 0)
     target = docs.filter(F.pmod(F.col("doc_id"), F.lit(DECONTAM_MOD)) == 0)
     w = selection.importance_weights(raw, target)
-    return selection.select_top_k(w, DSIR_TOP_K).orderBy("doc_id")
+    return _ck_sort(selection.select_top_k(w, DSIR_TOP_K), "doc_id")
 
 
 def sql_dsir_weights() -> str:
@@ -1538,16 +1574,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )
     s = selection.quality_lr_scores(d, labels)
-    return (
-        s.join(labels, "doc_id")
-        .select(
+    return _ck_sort(
+        s.join(labels, "doc_id").select(
             "doc_id",
             F.col("y").cast("long").alias("label"),
             "score",
             "prob",
             (F.col("prob") >= 0.5).alias("pred"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1628,8 +1663,8 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     read dup_word_frac = 1.0 (every window shared with the replica);
     within-doc repetition alone scores 0 (distinct-doc frequency).
     Oracle: same positional grams / lag-gap merge in window SQL."""
-    return dedup.dup_span_stats(_docs_with_replicas(spark, sf_dir)).orderBy(
-        "doc_id"
+    return _ck_sort(
+        dedup.dup_span_stats(_docs_with_replicas(spark, sf_dir)), "doc_id"
     )
 
 
@@ -1707,12 +1742,15 @@ def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — linear.  Oracle: the shared span CTE chain + NOT EXISTS
     range anti-join."""
     s = dedup.remove_duplicated_spans(_docs_with_replicas(spark, sf_dir))
-    return s.select(
+    return _ck_sort(
+        s.select(
+            "doc_id",
+            "total_words",
+            "removed_words",
+            F.md5("cleaned").alias("cleaned_hash"),
+        ),
         "doc_id",
-        "total_words",
-        "removed_words",
-        F.md5("cleaned").alias("cleaned_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 def sql_dedup_span_clean() -> str:
@@ -1809,15 +1847,18 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the cleaned text.  Narrow Catalyst array lambdas — zero
     shuffle beyond the output orderBy."""
     s = textstats.c4_line_stats(_paged_docs(spark, sf_dir))
-    return s.select(
+    return _ck_sort(
+        s.select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "n_sentences",
+            "keep",
+            "drop_reason",
+            F.md5("cleaned").alias("cleaned_hash"),
+        ),
         "doc_id",
-        "n_lines",
-        "n_kept",
-        "n_sentences",
-        "keep",
-        "drop_reason",
-        F.md5("cleaned").alias("cleaned_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 def sql_c4_clean() -> str:
@@ -1915,13 +1956,16 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns live in the RE2 ∩ java regex common dialect so the DuckDB
     oracle runs byte-identical expressions."""
     s = textstats.pii_stats(_pii_docs(spark, sf_dir))
-    return s.select(
+    return _ck_sort(
+        s.select(
+            "doc_id",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.md5("redacted").alias("redacted_hash"),
+        ),
         "doc_id",
-        "n_emails",
-        "n_ips",
-        "n_phones",
-        F.md5("redacted").alias("redacted_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 def sql_pii_scrub() -> str:
@@ -1945,7 +1989,7 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc keep test is a deterministic md5 draw — no window, no
     per-source sort, skew-immune.  Oracle: identical integer-fed md5
     arithmetic."""
-    return selection.domain_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(selection.domain_sample(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_domain_sample() -> str:
@@ -1972,7 +2016,7 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, and covered chunk range.  One shuffle on the uniform shard
     key; the per-shard window is the only ordered step.  Oracle: same
     window arithmetic in SQL."""
-    return selection.pack_chunks(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(selection.pack_chunks(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_pack_chunks() -> str:
@@ -2047,14 +2091,17 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — no pair enumeration; the threshold is integer
     arithmetic, oracle-exact."""
     s = dedup.host_boilerplate_stats(_hosted_docs(spark, sf_dir))
-    return s.select(
+    return _ck_sort(
+        s.select(
+            "doc_id",
+            "source",
+            "n_lines",
+            "n_boiler",
+            "boiler_frac",
+            F.md5("cleaned").alias("cleaned_hash"),
+        ),
         "doc_id",
-        "source",
-        "n_lines",
-        "n_boiler",
-        "boiler_frac",
-        F.md5("cleaned").alias("cleaned_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 def sql_host_boilerplate() -> str:
@@ -2109,7 +2156,8 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/middle/tail by EXACT terciles of the 4-dp score grid (the
     histogram window runs over the bounded grid, never the corpus)."""
     d = _docs(spark, sf_dir)
-    return selection.nll_terciles(selection.bigram_lm_nll(d, d)).orderBy(
+    return _ck_sort(
+        selection.nll_terciles(selection.bigram_lm_nll(d, d)),
         "doc_id"
     )
 
@@ -2210,7 +2258,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
         ).alias("host")
     )
-    return urls.canonicalize_urls(pages, blocklist).orderBy("doc_id")
+    return _ck_sort(urls.canonicalize_urls(pages, blocklist), "doc_id")
 
 
 _URL_PAGES_SQL = """(
@@ -2290,7 +2338,7 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return urls.snapshot_diff(a, b).orderBy("doc_id")
+    return _ck_sort(urls.snapshot_diff(a, b), "doc_id")
 
 
 def sql_crawl_diff() -> str:
@@ -2385,7 +2433,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet from the independent python encoder."""
     from .operators import bpe
 
-    return bpe.encode_token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(bpe.encode_token_counts(_docs(spark, sf_dir)), "doc_id")
 
 
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2393,7 +2441,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reproducible pseudorandom training order every epoch consumes
     — md5(seed:doc_id) order key, md5 shards, dense per-shard
     positions.  One uniform-key shuffle; per-shard window only."""
-    return selection.shuffle_order(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(selection.shuffle_order(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_corpus_shuffle() -> str:
@@ -2415,7 +2463,7 @@ FROM keyed ORDER BY doc_id
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(dedup.simhash(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_dedup_simhash() -> str:
@@ -2523,7 +2571,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     A,C never pair directly.  Scale: the edge set is
     |members| + |near pairs| (≪ |docs|²), so the CC cost is linear in
     duplicate mass — never quadratic in a cluster's size."""
-    return _dedup_keep_frame(spark, sf_dir).orderBy("doc_id")
+    return _ck_sort(_dedup_keep_frame(spark, sf_dir), "doc_id")
 
 
 def _dedup_keep_ctes() -> str:
@@ -2616,7 +2664,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_words") < CLEAN_MIN_WORDS, "too_short")
         .when(F.col("quality") < CLEAN_QUALITY_MIN, "low_quality")
     )
-    return (
+    return _ck_sort(
         verdict.withColumnRenamed("keep", "dedup_keep")
         .join(stats, "doc_id")
         .select(
@@ -2626,8 +2674,8 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
             reason.alias("drop_reason"),
             reason.isNull().alias("keep"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2662,7 +2710,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every band bucket), then the never-all-pairs band join with the
     ``max_bucket`` oversized-bucket guard."""
     reps, _members = dedup.collapse_exact(_docs_with_replicas(spark, sf_dir))
-    return dedup.simhash_near_pairs(reps).orderBy("doc_a", "doc_b")
+    return _ck_sort(dedup.simhash_near_pairs(reps), "doc_a", "doc_b")
 
 
 def sql_dedup_simhash_pairs() -> str:
@@ -2726,7 +2774,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them), so the cap can only bite genuine near-dup mega-buckets —
     # an identical-vector cluster bigger than the cap is NOT dropped;
     # the recall test asserts the planted pairs survive
-    return (
+    return _ck_sort(
         dedup.embedding_near_dups_lsh(
             emb,
             threshold=0.9,
@@ -2734,9 +2782,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits_per_band=_LSH_BITS,
             dim=64,
             max_bucket=dedup.MAX_BUCKET,
-        )
-        .withColumn("cosine", F.round("cosine", 6))
-        .orderBy("vec_a", "vec_b")
+        ).withColumn("cosine", F.round("cosine", 6)),
+        "vec_a",
+        "vec_b",
     )
 
 
@@ -2798,21 +2846,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_from_documents(_docs(spark, sf_dir))
     feats = extract_features(media)
-    return (
+    return _ck_sort(
         feats.select(
             "media_id",
             "kind",
             "n_bytes",
             F.posexplode("feature").alias("dim", "value"),
-        )
-        .select(
+        ).select(
             "media_id",
             "kind",
             "n_bytes",
             F.col("dim").cast("long").alias("dim"),
             F.round(F.col("value").cast("double"), 6).alias("value"),
-        )
-        .orderBy("media_id", "dim")
+        ),
+        "media_id",
+        "dim",
     )
 
 
@@ -2880,11 +2928,12 @@ def sql_multimodal_features() -> str:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
-    return (
+    return _ck_sort(
         similarity.cosine_topk(emb, q, k=5)
         .withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+        .withColumn("rank", F.col("rank").cast("long")),
+        "query_id",
+        "rank",
     )
 
 
@@ -2936,13 +2985,14 @@ def _lsh_bucket_case(dim: int, n_bands: int, bits: int, seed: int = 42) -> str:
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
-    return (
+    return _ck_sort(
         similarity.lsh_topk(
             emb, q, k=5, n_bands=_LSH_BANDS, bits_per_band=_LSH_BITS, dim=64
         )
         .withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+        .withColumn("rank", F.col("rank").cast("long")),
+        "query_id",
+        "rank",
     )
 
 
@@ -2998,18 +3048,18 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_from_documents(_docs(spark, sf_dir)), _RESIZE_W, _RESIZE_H
     )
     feats = extract_features(media)
-    return (
+    return _ck_sort(
         feats.select(
             "media_id", "kind", "n_bytes", F.posexplode("feature").alias("dim", "value")
-        )
-        .select(
+        ).select(
             "media_id",
             "kind",
             "n_bytes",
             F.col("dim").cast("long").alias("dim"),
             F.round(F.col("value").cast("double"), 6).alias("value"),
-        )
-        .orderBy("media_id", "dim")
+        ),
+        "media_id",
+        "dim",
     )
 
 
@@ -3030,13 +3080,14 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample — pytest covers recall with trained centroids)."""
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
-    return (
+    return _ck_sort(
         similarity.ivf_topk(
             emb, q, k=5, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64
         )
         .withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+        .withColumn("rank", F.col("rank").cast("long")),
+        "query_id",
+        "rank",
     )
 
 
@@ -3092,7 +3143,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(textstats.text_stats(_docs(spark, sf_dir)), "doc_id")
 
 
 def _text_stats_sql(src: str) -> str:
@@ -3140,7 +3191,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitious-text filter of Gopher A1 / The Pile / Dolma.  One
     narrow Arrow-batched pass, zero shuffle; the oracle recomputes
     every signal with per-n unnest + groupBy CTEs."""
-    return textstats.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(textstats.repetition_stats(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_repetition_stats() -> str:
@@ -3223,7 +3274,7 @@ ORDER BY b.doc_id
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(_extracted_pages(spark, sf_dir)).orderBy("url")
+    return _ck_sort(textstats.lang_id(_extracted_pages(spark, sf_dir)), "url")
 
 
 def sql_lang_id() -> str:
@@ -3242,7 +3293,7 @@ FROM m ORDER BY url
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(textstats.token_counts(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_token_counts() -> str:
@@ -3259,8 +3310,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint with the k+w−1 match guarantee; one Arrow-batched
     numpy kernel (see the operator for why Catalyst is quadratic
     here)."""
-    return textstats.winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
-        "doc_id", "fingerprint"
+    return _ck_sort(
+        textstats.winnow_fingerprints(_docs(spark, sf_dir)),
+        "doc_id",
+        "fingerprint",
     )
 
 
@@ -3307,9 +3360,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capped LSH-candidate shape (fingerprints above the strict
     WINNOW_PAIR_CAP are common-vocabulary noise: dropped, never
     pair-enumerated)."""
-    return textstats.winnow_overlap_pairs(
-        _docs_with_replicas(spark, sf_dir)
-    ).orderBy("doc_a", "doc_b")
+    return _ck_sort(
+        textstats.winnow_overlap_pairs(_docs_with_replicas(spark, sf_dir)),
+        "doc_a",
+        "doc_b",
+    )
 
 
 def sql_winnow_pairs() -> str:
@@ -3334,8 +3389,8 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 words by tf·ln(N/df), idf 9-dp-quantized before the product
     (the dsir convention), ties broken (score desc, word asc).  The
     ranking window partitions by doc — bounded, skewless."""
-    return textstats.tfidf_keywords(_docs(spark, sf_dir)).orderBy(
-        "doc_id", "rk"
+    return _ck_sort(
+        textstats.tfidf_keywords(_docs(spark, sf_dir)), "doc_id", "rk"
     )
 
 
@@ -3372,8 +3427,8 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     word pairs by ln(c_pair·T/(c1·c2)) among pairs seen >= 5 times —
     two uniform-key count groupBys, a scalar-total broadcast, and a
     bounded TakeOrdered cut (no full sort)."""
-    return textstats.pmi_bigrams(_docs(spark, sf_dir)).orderBy(
-        F.desc("pmi"), "w1", "w2"
+    return _ck_sort(
+        textstats.pmi_bigrams(_docs(spark, sf_dir)), F.desc("pmi"), "w1", "w2"
     )
 
 
@@ -3410,7 +3465,7 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _ck_sort(textstats.fingerprints(_docs(spark, sf_dir)), "doc_id")
 
 
 def sql_fingerprints() -> str:
