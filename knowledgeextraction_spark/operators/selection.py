@@ -707,17 +707,23 @@ def quality_lr_scores(
         """round(Σ_i xs[i]·w[buckets[i]], dp) as a narrow array fold
         against the constant weight vector, indexed bucket+2
         (element_at is 1-based; slot 1 = the BIAS_BUCKET=-1 weight).
-        Built as ONE SQL string: constructing the 1025-slot array
-        through the python Column API costs ~0.5 s of py4j round-trips
-        PER ROUND (measured), the parsed-at-once expr ~0.1 s; repr()
-        double literals round-trip exactly and the 'D' suffix keeps
-        them DoubleType (bare decimals parse as DECIMAL)."""
-        arr_sql = "array(" + ",".join(
-            repr(w_map.get(b, 0.0)) + "D" for b in range(-1, N_BUCKETS)
-        ) + ")"
+        The weight vector rides in as ONE from_json string literal
+        (r06): a 1025-element array(...) literal costs ~0.1 s of SQL
+        parsing PER ROUND (and the python Column API ~0.5 s of py4j —
+        both measured), while the single-token JSON string parses in
+        ~ms and ConstantFolding evaluates the from_json once at
+        optimization time (asserted gone from the optimized plan, with
+        the array-literal build bit-equal on every fixture row —
+        pytest).  repr() doubles round-trip exactly through Jackson's
+        correctly-rounded parse; the declared array<double> schema
+        pins the type (no DECIMAL inference)."""
+        js = "[" + ",".join(
+            repr(w_map.get(b, 0.0)) for b in range(-1, N_BUCKETS)
+        ) + "]"
         return F.expr(
             "round(aggregate(zip_with(xs, transform(buckets, "
-            f"b -> element_at({arr_sql}, cast(b + 2 as int))), "
+            f"b -> element_at(from_json('{js}', 'array<double>'), "
+            "cast(b + 2 as int))), "
             "(x, w) -> x * w), 0.0D, (acc, v) -> acc + v), "
             f"{LR_DP})"
         )

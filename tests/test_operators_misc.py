@@ -1314,6 +1314,77 @@ def test_quality_lr_combine_paths_agree(spark, monkeypatch):
     assert a == b
 
 
+def test_quality_margin_json_literal_matches_array_literal(spark):
+    """r06: the margin's weight vector rides in as a from_json string
+    literal (constant-folded once) — must be bit-equal to the former
+    per-round array(...)D literal build on every row, and the folded
+    constant must not survive into the optimized plan."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from knowledgeextraction_spark.operators import selection
+    from knowledgeextraction_spark.operators.selection import (
+        LR_DP,
+        N_BUCKETS,
+    )
+
+    rng = random.Random(13)
+    w = {b: round(rng.uniform(-0.25, 0.25), 9) for b in range(-1, N_BUCKETS)}
+    rows = []
+    for i in range(40):
+        ln = rng.randrange(1, 30)
+        bks = [rng.randrange(-1, N_BUCKETS) for _ in range(ln)]
+        xs = [round(rng.random(), 6) for _ in range(ln)]
+        rows.append((i, bks, xs))
+    df = spark.createDataFrame(
+        rows, "doc_id long, buckets array<bigint>, xs array<double>"
+    )
+
+    arr_sql = "array(" + ",".join(
+        repr(w.get(b, 0.0)) + "D" for b in range(-1, N_BUCKETS)
+    ) + ")"
+    old = SF.expr(
+        "round(aggregate(zip_with(xs, transform(buckets, "
+        f"b -> element_at({arr_sql}, cast(b + 2 as int))), "
+        "(x, w) -> x * w), 0.0D, (acc, v) -> acc + v), "
+        f"{LR_DP})"
+    )
+    js = "[" + ",".join(repr(w.get(b, 0.0)) for b in range(-1, N_BUCKETS)) + "]"
+    new = SF.expr(
+        "round(aggregate(zip_with(xs, transform(buckets, "
+        f"b -> element_at(from_json('{js}', 'array<double>'), "
+        "cast(b + 2 as int))), "
+        "(x, w) -> x * w), 0.0D, (acc, v) -> acc + v), "
+        f"{LR_DP})"
+    )
+    bad = df.select(old.alias("a"), new.alias("b")).filter(
+        "a IS DISTINCT FROM b"
+    )
+    assert bad.count() == 0
+    plan = (
+        df.select(new.alias("m"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "from_json" not in plan.lower()
+    # and the real operator still separates the planted corpus (uses
+    # the new margin build end-to-end)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta") for i in range(6)]
+        + [(100 + i, f"uno dos tres v{i} cuatro") for i in range(6)],
+        "doc_id long, text string",
+    )
+    labels = docs.select(
+        "doc_id", (SF.col("doc_id") < 100).cast("double").alias("y")
+    )
+    scored = selection.quality_lr_scores(docs, labels).collect()
+    assert all(
+        (r["prob"] >= 0.5) == (r["doc_id"] < 100) for r in scored
+    )
+
+
 def test_remove_duplicated_spans_planted(spark):
     from knowledgeextraction_spark.operators import dedup
 
