@@ -529,6 +529,16 @@ BIAS_BUCKET = -1
 # slots ≈ 0.5M rows ≈ 12 MB — comfortably driver-sized.
 DRIVER_COMBINE_MAX_PARTIALS = 512 * 1024
 
+# rows of the (doc_id, y, buckets[], xs[]) feature table per training
+# task: the 12 round jobs each pay per-task Arrow + scheduling
+# overhead, and AQE sizes the featA exchange by its bytes (small), so
+# tiny corpora would otherwise fan the rounds out over many near-empty
+# tasks.  20k rows × ~0.5-2 KB/row keeps partitions in the guide's
+# tens-of-MB band; the coalesce applying it is NARROW (over the
+# already-checkpointed rows) and never raises the partition count, so
+# big corpora keep their cluster parallelism.
+ROWS_PER_TRAIN_TASK = 20_000
+
 
 def _round_half_up(x: float, dp: int) -> float:
     """Spark F.round(double, dp) twin: BigDecimal.valueOf(x) quantized
@@ -642,6 +652,13 @@ def quality_lr_scores(
     # so featA has exactly one row per doc — N collected as an exact
     # integer (same double the former 1-row count frame carried)
     n_val = float(featA.count())
+
+    # data-proportional round-job parallelism (see ROWS_PER_TRAIN_TASK):
+    # narrow merge of the checkpointed partitions; never splits, so at
+    # cluster scale this is a no-op
+    target = max(1, int(n_val) // ROWS_PER_TRAIN_TASK + 1)
+    if target < featA.rdd.getNumPartitions():
+        featA = featA.coalesce(target)
 
     use_driver_combine = (
         featA.rdd.getNumPartitions() * (N_BUCKETS + 1)

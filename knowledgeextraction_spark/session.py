@@ -55,6 +55,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE's coalesced-partition size (default 1m): AQE
+        # sizes post-shuffle partitions by the SHUFFLED bytes, so a
+        # small-but-expanding stage (the dedup chain's exchange of
+        # collapsed reps, whose downstream shingle explode + per-
+        # shingle×band md5 multiplies the work ~50×) collapses to ONE
+        # task and serializes its map work (measured: the (64+1)/65
+        # straggler; dedup_keep 5.1→3.5 s at sf0.1 with 64k).  64k only
+        # changes shuffles totalling < parallelism × 1 MB — at
+        # production scale every real shuffle clears that bar and the
+        # setting is inert, so it is a small-data fidelity knob, not a
+        # local[32] tuning.  Env-overridable like the other knobs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARKKG_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # prefer shuffled-hash join when the per-partition build side
         # fits (guide-recommended baseline: SMJ pays a sort both sides;
